@@ -1,0 +1,101 @@
+"""Metric equivalence: on-device jnp path vs Kaggle CSV path.
+
+Port of the reference's one load-bearing test (_test_kaggle_metric.py:25-221):
+the xarray-style metric pipeline and the CSV/ID-parsing competition scorer
+must agree to 0.1% relative tolerance on synthetic climate-like fields.
+Here the first path is our jnp on-device implementation.
+"""
+
+import numpy as np
+import pytest
+
+from climate_tpu.eval.kaggle import format_ids, score_csv, to_kaggle_dataframe
+from climate_tpu.eval.metrics import (
+    evaluate_predictions,
+    get_lat_weights,
+    kaggle_composite_score,
+    monthly_rmse,
+    time_mean_rmse,
+    time_std_mae,
+)
+
+OUTPUT_VARS = ["tas", "pr"]
+
+
+def test_composite_equivalence(synthetic_fields):
+    preds, trues, lats, lons, t = synthetic_fields
+
+    sub = to_kaggle_dataframe(preds, t, lats, lons, OUTPUT_VARS)
+    sol = to_kaggle_dataframe(trues, t, lats, lons, OUTPUT_VARS)
+    csv_score = score_csv(sol, sub)
+
+    jnp_score = float(kaggle_composite_score(preds, trues, lats, OUTPUT_VARS))
+    assert jnp_score == pytest.approx(csv_score, rel=1e-3)
+
+
+def test_composite_equivalence_on_device(synthetic_fields):
+    import jax.numpy as jnp
+
+    preds, trues, lats, lons, t = synthetic_fields
+    sub = to_kaggle_dataframe(preds, t, lats, lons, OUTPUT_VARS)
+    sol = to_kaggle_dataframe(trues, t, lats, lons, OUTPUT_VARS)
+    csv_score = score_csv(sol, sub)
+
+    dev_score = float(
+        kaggle_composite_score(
+            jnp.asarray(preds, dtype=jnp.float32), jnp.asarray(trues, dtype=jnp.float32), lats, OUTPUT_VARS
+        )
+    )
+    assert dev_score == pytest.approx(csv_score, rel=1e-3)
+
+
+def test_perfect_prediction_scores_zero(synthetic_fields):
+    preds, trues, lats, lons, t = synthetic_fields
+    assert float(kaggle_composite_score(trues, trues, lats, OUTPUT_VARS)) == pytest.approx(0.0, abs=1e-10)
+
+
+def test_metric_definitions_against_naive_numpy(synthetic_fields):
+    preds, trues, lats, _, _ = synthetic_fields
+    p, q = preds[:, 0], trues[:, 0]
+    w = np.cos(np.deg2rad(lats))
+    w = w / w.mean()
+    wn = w / w.sum()
+
+    naive_monthly = np.sqrt(
+        np.mean(np.sum(np.mean((p - q) ** 2, axis=0) * wn[:, None], axis=0))
+    )
+    assert float(monthly_rmse(p, q, get_lat_weights(lats))) == pytest.approx(naive_monthly, rel=1e-10)
+
+    naive_tm = np.sqrt(np.mean(np.sum((p.mean(0) - q.mean(0)) ** 2 * wn[:, None], axis=0)))
+    assert float(time_mean_rmse(p, q, get_lat_weights(lats))) == pytest.approx(naive_tm, rel=1e-10)
+
+    naive_ts = np.mean(np.sum(np.abs(p.std(0) - q.std(0)) * wn[:, None], axis=0))
+    assert float(time_std_mae(p, q, get_lat_weights(lats))) == pytest.approx(naive_ts, rel=1e-10)
+
+
+def test_evaluate_predictions_log_keys(synthetic_fields):
+    preds, trues, lats, _, _ = synthetic_fields
+    out = evaluate_predictions(preds, trues, lats, OUTPUT_VARS, phase="val")
+    # Same metric-name stream as the reference logger (main_baseline.py:393-407)
+    for var in OUTPUT_VARS:
+        assert f"val/{var}/avg/monthly_rmse" in out
+        assert f"val/{var}/time_mean_rmse" in out
+        assert f"val/{var}/time_stddev_mae" in out
+
+
+def test_id_format_matches_reference(synthetic_fields):
+    _, _, lats, lons, t = synthetic_fields
+    ids = format_ids(t, lats, lons, OUTPUT_VARS)
+    # reference format: t{t:03d}_{var}_{lat:.2f}_{lon:.2f} (utils_baseline.py:340)
+    assert ids[0] == f"t000_tas_{lats[0]:.2f}_{lons[0]:.2f}"
+    n_y, n_x = len(lats), len(lons)
+    assert ids[n_y * n_x] == f"t000_pr_{lats[0]:.2f}_{lons[0]:.2f}"
+    assert len(ids) == len(t) * 2 * n_y * n_x
+
+
+def test_missing_prediction_raises(synthetic_fields):
+    preds, trues, lats, lons, t = synthetic_fields
+    sol = to_kaggle_dataframe(trues, t, lats, lons, OUTPUT_VARS)
+    sub = to_kaggle_dataframe(preds, t, lats, lons, OUTPUT_VARS).iloc[:-5]
+    with pytest.raises(ValueError, match="missing predictions"):
+        score_csv(sol, sub)
