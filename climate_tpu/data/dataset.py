@@ -1,0 +1,91 @@
+"""Device-resident dataset: the whole (normalized) split lives in HBM.
+
+The reference materializes the dask graph into host-RAM torch tensors and
+feeds them through DataLoader workers + per-batch host->device copies
+(main_baseline.py:46-72, main_final.py:46-154). At this scale (largest split:
+8109 x 7 x 48 x 72 fp32 ~ 0.8 GB) the TPU-native answer is to push the whole
+split to HBM once and assemble batches *inside jit* by index gather — per
+step the host sends only a (B,) int32 index vector.
+
+Sliding windows (main_final.py:97-154) become a (B, T) gather with zero
+left-padding expressed as a mask: window index idx-T+1+i, entries < 0 read
+row 0 and are zeroed — exactly the reference's pad_tensor_template semantics.
+
+Layout is NHWC (TPU-native); the ETL's (time, C, y, x) is transposed once at
+load. Windows never see member/SSP boundaries fixed here: like the reference
+(SURVEY.md 2.6.4), windows may cross concatenated-member boundaries; a future
+boundary-mask flag can fix that behind config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class DeviceDataset:
+    """One split resident on device. inputs: (N, H, W, C_in); outputs:
+    (N, H, W, C_out)."""
+
+    inputs: jax.Array
+    outputs: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.inputs.shape[0]
+
+    @classmethod
+    def from_host(cls, inputs_tchw: np.ndarray, outputs_tchw: np.ndarray, sharding=None):
+        """(time, C, y, x) host arrays -> fp32 NHWC device arrays."""
+        x = np.ascontiguousarray(np.moveaxis(inputs_tchw, 1, -1), dtype=np.float32)
+        y = np.ascontiguousarray(np.moveaxis(outputs_tchw, 1, -1), dtype=np.float32)
+        if np.isnan(x).any() or np.isnan(y).any():
+            # reference raises for baseline (main_baseline.py:65-66) and warns
+            # for final (main_final.py:88-90); we warn — NaNs may be a chosen
+            # masking option (mask_tas_below).
+            import warnings
+
+            warnings.warn("NaN values detected in dataset tensors")
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
+        return cls(inputs=put(x), outputs=put(y))
+
+
+def gather_frames(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """Single-frame batch: data (N, H, W, C), idx (B,) -> (B, H, W, C)."""
+    return jnp.take(data, idx, axis=0)
+
+
+def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
+    """Sliding-window batch with zero left-padding.
+
+    data (N, H, W, C), idx (B,) target indices -> (B, T, H, W, C) where
+    window t covers [idx-T+1, ..., idx]; positions before t=0 are zeros
+    (reference main_final.py:123-145).
+    """
+    offsets = jnp.arange(seq_len, dtype=idx.dtype) - (seq_len - 1)  # [-T+1 .. 0]
+    widx = idx[:, None] + offsets[None, :]  # (B, T)
+    valid = widx >= 0
+    safe = jnp.maximum(widx, 0)
+    frames = jnp.take(data, safe.reshape(-1), axis=0)
+    frames = frames.reshape(*widx.shape, *data.shape[1:])  # (B, T, H, W, C)
+    return frames * valid[..., None, None, None].astype(frames.dtype)
+
+
+def epoch_permutation(rng: np.random.Generator, n: int, batch_size: int, drop_last: bool = False):
+    """Shuffled batch index arrays for one epoch (host-side, tiny).
+
+    Matches DataLoader(shuffle=True) semantics; the final short batch is kept
+    (drop_last=False default, like torch).
+    """
+    perm = rng.permutation(n)
+    stop = (n // batch_size) * batch_size if drop_last else n
+    return [perm[i : i + batch_size] for i in range(0, stop, batch_size)]
+
+
+def eval_batches(n: int, batch_size: int):
+    """Sequential index batches (shuffle=False eval loaders)."""
+    return [np.arange(i, min(i + batch_size, n)) for i in range(0, n, batch_size)]

@@ -1,0 +1,258 @@
+"""Experiment orchestration: config -> data -> train -> eval -> submission.
+
+One entry path replacing the reference's three vertical main_*.py copies
+(SURVEY.md section 1): the `pipeline` key in the data config selects the
+baseline / ensemble / final ETL + normalization semantics, and the model zoo
+is orthogonal. Call stack parity with main_final.py:751-785 (see SURVEY.md
+section 3), minus Lightning.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import open_zarr, prepare_databundle
+from ..data.dataset import DeviceDataset, epoch_permutation
+from ..eval import kaggle as kaggle_io
+from ..eval.metrics import evaluate_predictions, kaggle_composite_score
+from ..models import get_model, is_sequence_model
+from ..parallel.mesh import create_mesh, replicated
+from ..transforms import normalize as tf
+from ..utils.logging import MetricsLogger, get_logger
+from ..utils.timer import StepTimer, profile_trace
+from .checkpoint import CheckpointManager, restore_from_path
+from .state import build_optimizer, create_train_state
+from .trainer import StepFunctions, masked_mse, pad_batch, predict_dataset
+
+log = get_logger(__name__)
+
+
+class Experiment:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.seed = int(cfg.get("seed", 42))
+        data_cfg = cfg["data"]
+        trainer_cfg = cfg.get("trainer", {})
+
+        # --- mesh (accelerator fallback mirrors utils_baseline.py:131-137) ---
+        want = trainer_cfg.get("accelerator", "tpu")
+        platform = jax.devices()[0].platform
+        if want == "tpu" and platform != "tpu":
+            log.warning(f"TPU requested but default platform is {platform}; continuing on {platform}.")
+        devices = trainer_cfg.get("devices", "all")
+        n_dev = None if devices in ("all", None, "auto") else int(devices)
+        self.mesh = create_mesh(n_dev)
+        log.info(f"Mesh: {self.mesh.shape} over {platform}")
+
+        # --- data ---
+        self.pipeline = data_cfg.get("pipeline", "baseline")
+        group = open_zarr(data_cfg["path"])
+        bundle = prepare_databundle(
+            group,
+            pipeline=self.pipeline,
+            input_vars=list(data_cfg["input_vars"]),
+            output_vars=list(data_cfg["output_vars"]),
+            train_ssps=list(data_cfg["train_ssps"]),
+            test_ssp=data_cfg["test_ssp"],
+            test_months=int(data_cfg.get("test_months", 360)),
+            target_member_id=int(data_cfg.get("target_member_id", 0)),
+            member_ids=list(data_cfg.get("member_ids", [0])),
+            seasonal_embeddings=bool(data_cfg.get("seasonal_embeddings", False)),
+            mask_tas_below=data_cfg.get("mask_tas_below"),
+        )
+        self.bundle = bundle
+        self.lat, self.lon = bundle.lat, bundle.lon
+        self.output_vars = bundle.output_vars
+
+        # --- normalization stats (train split only) ---
+        if self.pipeline == "final":
+            tm = data_cfg.get("transform_map", {}) or {}
+            self.input_stats = tf.compute_stats(bundle.train.inputs, bundle.input_vars, tm)
+            self.output_stats = tf.compute_stats(bundle.train.outputs, bundle.output_vars, tm)
+        else:  # baseline/ensemble: global z-score without epsilon
+            self.input_stats = tf.global_zscore_stats(bundle.train.inputs)
+            self.output_stats = tf.global_zscore_stats(bundle.train.outputs)
+
+        # --- normalize on host (f8 math like dask), then device-resident NHWC ---
+        repl = replicated(self.mesh)
+        self.train_ds = DeviceDataset.from_host(
+            tf.normalize(bundle.train.inputs, self.input_stats),
+            tf.normalize(bundle.train.outputs, self.output_stats),
+            sharding=repl,
+        )
+        self.val_ds = DeviceDataset.from_host(
+            tf.normalize(bundle.val.inputs, self.input_stats),
+            tf.normalize(bundle.val.outputs, self.output_stats),
+            sharding=repl,
+        )
+        self.test_ds = DeviceDataset.from_host(
+            tf.normalize(bundle.test.inputs, self.input_stats),
+            bundle.test.outputs,  # raw targets (reference parity)
+            sharding=repl,
+        )
+        log.info(
+            f"Datasets created. Train: {self.train_ds.n}, Val: {self.val_ds.n}, Test: {self.test_ds.n}"
+        )
+
+        # --- model + optimizer + compiled steps ---
+        self.model = get_model(cfg)
+        self.seq_len = int(data_cfg.get("seq_len", 1)) if is_sequence_model(cfg) else None
+        self.batch_size = int(data_cfg.get("batch_size", 32))
+        self.eval_batch_size = int(data_cfg.get("eval_batch_size") or self.batch_size)
+
+        training = cfg.get("training", {})
+        self.tx = build_optimizer(float(training.get("lr", 5e-4)), float(training.get("weight_decay", 0.0)))
+
+        rng = jax.random.PRNGKey(self.seed)
+        example = self._example_batch()
+        self.state = create_train_state(self.model, rng, example, self.tx)
+        self.state = jax.device_put(self.state, repl)
+        has_bs = bool(self.state.batch_stats)
+        use_dropout = cfg["model"]["type"] in ("SimpleCNN", "cnn_transformer")
+        self.step_fns = StepFunctions.build(
+            self.model, self.tx, self.mesh,
+            seq_len=self.seq_len, output_stats=self.output_stats,
+            has_batch_stats=has_bs, use_dropout=use_dropout,
+        )
+
+        # --- run dir + logging (reference: hydra outputs/<date>/<time>) ---
+        root = cfg.get("output_dir", "outputs")
+        self.run_dir = os.path.join(root, datetime.now().strftime("%Y-%m-%d/%H-%M-%S"))
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.metrics_logger = MetricsLogger(
+            self.run_dir,
+            use_wandb=bool(cfg.get("use_wandb")),
+            wandb_kwargs={
+                "project": cfg.get("wandb_project"),
+                "entity": cfg.get("wandb_entity"),
+                "name": cfg.get("run_name"),
+                "config": cfg,
+            },
+        )
+        ckpt_cfg = trainer_cfg.get("checkpoint", {}) or {}
+        self.ckpt = CheckpointManager(
+            self.run_dir,
+            monitor=ckpt_cfg.get("monitor", "val/loss"),
+            mode=ckpt_cfg.get("mode", "min"),
+            save_last=bool(ckpt_cfg.get("save_last", True)),
+        )
+        self.start_epoch = 0
+        if cfg.get("ckpt_path"):
+            self.state, meta = restore_from_path(cfg["ckpt_path"], self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            if "input_stats" in meta:  # stats travel with the checkpoint
+                self.input_stats = meta["input_stats"]
+                self.output_stats = meta["output_stats"]
+            log.info(f"Restored checkpoint from {cfg['ckpt_path']} (epoch {self.start_epoch})")
+
+        self.timer = StepTimer()
+
+    # ------------------------------------------------------------------
+    def _example_batch(self):
+        h, w = len(self.lat), len(self.lon)
+        c_in = self.train_ds.inputs.shape[-1]
+        if self.seq_len is not None:
+            return jnp.zeros((self.batch_size, self.seq_len, h, w, c_in), jnp.float32)
+        return jnp.zeros((self.batch_size, h, w, c_in), jnp.float32)
+
+    # ------------------------------------------------------------------
+    def fit(self) -> dict:
+        cfg_tr = self.cfg.get("trainer", {})
+        max_epochs = int(cfg_tr.get("max_epochs", 1))
+        log_every = int(cfg_tr.get("log_every_n_steps", 50))
+        host_rng = np.random.default_rng(self.seed)
+        drop_rng = jax.random.PRNGKey(self.seed + 1)
+
+        last_val: dict = {}
+        with profile_trace(os.path.join(self.run_dir, "profile"), enabled=bool(cfg_tr.get("profile"))):
+            for epoch in range(self.start_epoch, max_epochs):
+                epoch_t0 = time.perf_counter()
+                losses = []
+                for bi, idx in enumerate(
+                    epoch_permutation(host_rng, self.train_ds.n, self.batch_size)
+                ):
+                    idx_p, mask = pad_batch(idx, self.batch_size)
+                    rng = jax.random.fold_in(drop_rng, int(self.state.step))
+                    self.timer.start()
+                    self.state, loss = self.step_fns.train_step(
+                        self.state,
+                        self.train_ds.inputs,
+                        self.train_ds.outputs,
+                        jnp.asarray(idx_p),
+                        jnp.asarray(mask),
+                        rng,
+                    )
+                    if bi % log_every == 0:
+                        loss = float(loss)  # sync point only when logging
+                        losses.append(loss)
+                        self.metrics_logger.log({"train/loss": loss}, step=int(self.state.step))
+                    jax.block_until_ready(self.state.params) if bi < 3 else None
+                    self.timer.stop(int(mask.sum()))
+
+                val_metrics = self.validate(epoch)
+                last_val = val_metrics
+                self.ckpt.save(self.state, val_metrics, epoch, self.input_stats, self.output_stats)
+                log.info(
+                    f"epoch {epoch}: train/loss={np.mean(losses) if losses else float('nan'):.4f} "
+                    f"val/loss={val_metrics['val/loss']:.4f} "
+                    f"composite={val_metrics['val/kaggle_score']:.4f} "
+                    f"({time.perf_counter() - epoch_t0:.1f}s, "
+                    f"{self.timer.samples_per_sec:.0f} samples/s)"
+                )
+        return last_val
+
+    # ------------------------------------------------------------------
+    def _denorm_tchw(self, preds_nhwc):
+        """NHWC normalized preds -> (time, C, y, x) physical units, on device."""
+        tchw = jnp.transpose(preds_nhwc, (0, 3, 1, 2))
+        return tf.inverse_transform(tchw, self.output_stats)
+
+    def validate(self, epoch: int) -> dict:
+        preds_norm = predict_dataset(
+            self.step_fns, self.state, self.val_ds.inputs, self.val_ds.n, self.eval_batch_size
+        )
+        val_loss = masked_mse(
+            preds_norm, self.val_ds.outputs, jnp.ones(preds_norm.shape[0], jnp.float32)
+        )
+        preds = self._denorm_tchw(preds_norm)
+        # reference round-trips targets through normalize->inverse
+        # (main_baseline.py:346), reproduced here:
+        trues = self._denorm_tchw(self.val_ds.outputs)
+        metrics = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="val")
+        metrics["val/loss"] = val_loss
+        metrics["val/kaggle_score"] = kaggle_composite_score(preds, trues, self.lat, self.output_vars)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self.metrics_logger.log(metrics, step=int(self.state.step))
+        return metrics
+
+    # ------------------------------------------------------------------
+    def test(self, save_submission: bool = True) -> dict:
+        """Test phase: metrics vs (corrupted, see main_baseline.py:544-545)
+        raw targets + Kaggle submission CSV."""
+        preds_norm = predict_dataset(
+            self.step_fns, self.state, self.test_ds.inputs, self.test_ds.n, self.eval_batch_size
+        )
+        preds = self._denorm_tchw(preds_norm)
+        trues = jnp.transpose(self.test_ds.outputs, (0, 3, 1, 2))
+        metrics = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="test")
+        metrics = {k: float(v) for k, v in metrics.items()}
+        self.metrics_logger.log(metrics, step=int(self.state.step))
+
+        if save_submission:
+            preds_np = np.asarray(preds)
+            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+            sub_dir = os.path.join(self.run_dir, "submissions")
+            os.makedirs(sub_dir, exist_ok=True)
+            path = os.path.join(sub_dir, f"kaggle_submission_{ts}.csv")
+            kaggle_io.save_submission(
+                preds_np, np.arange(preds_np.shape[0]), self.lat, self.lon, self.output_vars, path
+            )
+            log.info(f"Kaggle submission saved to {path}")
+            metrics["submission_path"] = path
+        return metrics

@@ -1,0 +1,52 @@
+"""Train state pytree + optimizer construction.
+
+Optimizer parity: torch.optim.Adam(lr, weight_decay) as configured at
+main_final.py:737-747 — torch Adam's weight_decay is L2-into-gradient (not
+decoupled AdamW), so the optax chain is add_decayed_weights BEFORE
+scale_by_adam. Defaults b1=0.9, b2=0.999, eps=1e-8 match torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any  # BatchNorm running stats ({} for stat-free models)
+    opt_state: Any
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def build_optimizer(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))  # torch Adam L2 semantics
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(optax.scale(-lr))
+    return optax.chain(*parts)
+
+
+def create_train_state(model, rng, example_input, tx: optax.GradientTransformation) -> TrainState:
+    variables = model.init(rng, example_input)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    import jax.numpy as jnp
+
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )

@@ -1,0 +1,133 @@
+"""The training engine: jitted steps over a device mesh, on-device eval.
+
+Replaces the reference's Lightning stack (ClimateEmulationModule +
+pl.Trainer, main_baseline.py:313-555) with a single-controller JAX design:
+
+- one jitted train step (gather batch by index from the device-resident
+  dataset -> forward -> masked MSE -> grads -> Adam update), batch dim
+  sharded over the `data` mesh axis, params replicated; XLA inserts the
+  gradient all-reduce over ICI (SURVEY.md 2.7);
+- fixed batch shape (final short batch is padded + masked, not recompiled);
+- whole-validation-set prediction, denormalization, and lat-weighted metrics
+  run on device in one call per epoch — the reference syncs device->host on
+  every step instead (main_baseline.py:345-347, SURVEY.md 2.6.7);
+- BatchNorm batch statistics are computed over the *global* (cross-replica)
+  batch automatically under GSPMD — the reference is single-GPU so this
+  matches its semantics at devices=1 and strengthens them beyond.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.dataset import gather_frames, gather_windows
+from ..parallel.mesh import DATA_AXIS
+from ..transforms import normalize as tf
+
+
+def masked_mse(pred, target, mask):
+    """MSE over valid rows only (mask: (B,) 0/1). fp32 accumulation."""
+    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    per_row = err.mean(axis=tuple(range(1, err.ndim)))
+    m = mask.astype(jnp.float32)
+    return jnp.sum(per_row * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@dataclass
+class StepFunctions:
+    """Compiled train/eval callables bound to a model + mesh + dataset layout."""
+
+    train_step: callable
+    predict: callable
+
+    @staticmethod
+    def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
+              output_stats: tf.StatsMap, has_batch_stats: bool, use_dropout: bool):
+        """seq_len=None -> single-frame models; else sliding-window gather."""
+
+        def gather(x_all, idx):
+            if seq_len is None:
+                return gather_frames(x_all, idx)
+            return gather_windows(x_all, idx, seq_len)
+
+        def forward(params, batch_stats, x, rng, train: bool):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = batch_stats
+            kwargs = dict(train=train)
+            mutable = ["batch_stats"] if (train and has_batch_stats) else False
+            rngs = {"dropout": rng} if (train and use_dropout) else None
+            out = model.apply(variables, x, rngs=rngs, mutable=mutable, **kwargs)
+            if mutable:
+                pred, mutated = out
+                return pred, mutated.get("batch_stats", batch_stats)
+            return out, batch_stats
+
+        def loss_fn(params, batch_stats, x, y, mask, rng):
+            pred, new_bs = forward(params, batch_stats, x, rng, train=True)
+            return masked_mse(pred, y, mask), new_bs
+
+        def _train_step(state, x_all, y_all, idx, mask, rng):
+            x = gather(x_all, idx)
+            y = gather_frames(y_all, idx)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, x, y, mask, rng
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
+            )
+            return new_state, loss
+
+        def _predict(state, x_all, idx):
+            """Eval forward for a (padded) index batch -> normalized preds."""
+            x = gather(x_all, idx)
+            pred, _ = forward(state.params, state.batch_stats, x, None, train=False)
+            return pred
+
+        repl = NamedSharding(mesh, P())
+        shard_b = NamedSharding(mesh, P(DATA_AXIS))
+        train_step = jax.jit(
+            _train_step,
+            in_shardings=(repl, repl, repl, shard_b, shard_b, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        predict = jax.jit(
+            _predict,
+            in_shardings=(repl, repl, shard_b),
+            out_shardings=shard_b,
+        )
+        return StepFunctions(train_step=train_step, predict=predict)
+
+
+def pad_batch(idx: np.ndarray, batch_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad an index batch to fixed size; mask marks real rows. Keeps one
+    compiled shape for the torch drop_last=False semantics."""
+    n = len(idx)
+    if n == batch_size:
+        return idx.astype(np.int32), np.ones(batch_size, np.float32)
+    out = np.zeros(batch_size, np.int32)
+    out[:n] = idx
+    mask = np.zeros(batch_size, np.float32)
+    mask[:n] = 1.0
+    return out, mask
+
+
+def predict_dataset(step_fns: StepFunctions, state, x_all, n: int, batch_size: int):
+    """Normalized predictions for a whole split, fixed-shape batches."""
+    preds = []
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        idx_p, _ = pad_batch(idx, batch_size)
+        p = step_fns.predict(state, x_all, jnp.asarray(idx_p))
+        preds.append(p[: len(idx)])
+    return jnp.concatenate(preds, axis=0)

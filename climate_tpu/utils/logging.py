@@ -1,0 +1,91 @@
+"""Logging: process-0-deduped stdlib logger + CSV metric stream + optional
+wandb.
+
+Replaces the reference's three channels (SURVEY.md section 5 observability):
+rank_zero_only stdlib logging (utils_baseline.py:14-24), Lightning self.log
+scalar streams, and the optional guarded wandb import
+(main_baseline.py:20-23). Metric names are kept identical so runs can be
+diffed against reference logs.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+from typing import Any
+
+import jax
+
+try:  # optional, like the reference's guarded import
+    import wandb  # type: ignore
+except ImportError:
+    wandb = None
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def get_logger(name: str = __name__, level=logging.INFO) -> logging.Logger:
+    """Multi-host-friendly logger: only process 0 emits."""
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s"))
+        logger.addHandler(handler)
+    logger.setLevel(level if is_main_process() else logging.CRITICAL)
+    logger.propagate = False
+    return logger
+
+
+class MetricsLogger:
+    """Appends scalar metric dicts to <run_dir>/metrics.csv; mirrors the
+    reference's Lightning scalar stream names. Optionally forwards to wandb."""
+
+    def __init__(self, run_dir: str, use_wandb: bool = False, wandb_kwargs: dict | None = None):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.csv_path = os.path.join(run_dir, "metrics.csv")
+        self._fieldnames: list[str] | None = None
+        self._wandb_run = None
+        if use_wandb and wandb is not None and is_main_process():
+            self._wandb_run = wandb.init(dir=run_dir, **(wandb_kwargs or {}))
+
+    def log(self, metrics: dict[str, Any], step: int) -> None:
+        if not is_main_process():
+            return
+        row = {"step": step}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                row[k] = v
+        write_header = self._fieldnames is None
+        if write_header:
+            self._fieldnames = list(row)
+        elif any(k not in self._fieldnames for k in row):
+            self._fieldnames += [k for k in row if k not in self._fieldnames]
+            self._rewrite_with_header()
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames)
+            if write_header and f.tell() == 0:
+                w.writeheader()
+            w.writerow(row)
+        if self._wandb_run is not None:
+            self._wandb_run.log(metrics, step=step)
+
+    def _rewrite_with_header(self) -> None:
+        if not os.path.exists(self.csv_path):
+            return
+        with open(self.csv_path) as f:
+            rows = list(csv.DictReader(f))
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames)
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+
+    def finish(self) -> None:
+        if self._wandb_run is not None:
+            self._wandb_run.finish()
