@@ -1,0 +1,116 @@
+"""Benchmark: flagship training throughput (samples/sec) on the local
+accelerator. Prints ONE JSON line for the driver.
+
+Measures the full data-parallel training step of AttUNetConvLSTM (seq_len=6,
+batch 64, 7 input channels — the reference's final config) with the
+device-resident input pipeline: per step the host sends only a (B,) index
+vector. vs_baseline is the ratio against the reference-equivalent PyTorch
+step measured on this host (bench_baseline_torch.py; the reference's own GPU
+numbers are unpublished — BASELINE.md), cached in BASELINE_MEASURED.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+BATCH = 64
+SEQ_LEN = 6
+WARMUP = 5
+STEPS = 30
+
+
+def measure_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from climate_tpu.models import AttUNetConvLSTM
+    from climate_tpu.parallel.mesh import create_mesh, replicate
+    from climate_tpu.train.state import build_optimizer, create_train_state
+    from climate_tpu.train.trainer import StepFunctions, pad_batch
+
+    mesh = create_mesh()
+    n_dev = mesh.size
+    batch = ((BATCH + n_dev - 1) // n_dev) * n_dev
+
+    model = AttUNetConvLSTM(n_output_channels=2, base=16)
+    tx = build_optimizer(5e-4)
+    rng = jax.random.PRNGKey(0)
+    example = jnp.zeros((batch, SEQ_LEN, 48, 72, 7), jnp.float32)
+    state = replicate(mesh, create_train_state(model, rng, example, tx))
+    fns = StepFunctions.build(
+        model, tx, mesh, seq_len=SEQ_LEN, output_stats={},
+        has_batch_stats=False, use_dropout=False,
+    )
+
+    # device-resident synthetic dataset sized like the real final split
+    n_frames = 2048
+    data_x = replicate(mesh, jax.random.normal(jax.random.PRNGKey(1), (n_frames, 48, 72, 7)))
+    data_y = replicate(mesh, jax.random.normal(jax.random.PRNGKey(2), (n_frames, 48, 72, 2)))
+
+    host_rng = np.random.default_rng(0)
+
+    def one_step(state):
+        idx = host_rng.integers(0, n_frames, size=batch)
+        idx_p, mask = pad_batch(idx, batch)
+        return fns.train_step(
+            state, data_x, data_y, jnp.asarray(idx_p), jnp.asarray(mask), rng
+        )
+
+    for _ in range(WARMUP):
+        state, loss = one_step(state)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = one_step(state)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return batch * STEPS / dt
+
+
+def baseline_samples_per_sec() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return float(json.load(f)["train_samples_per_sec"])
+    from bench_baseline_torch import measure_torch_baseline
+
+    val = measure_torch_baseline(batch=BATCH, seq_len=SEQ_LEN, steps=3)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {
+                "train_samples_per_sec": val,
+                "note": "reference-equivalent torch step (bench_baseline_torch.py) on this host's CPU; reference publishes no numbers (BASELINE.md)",
+                "batch": BATCH,
+                "seq_len": SEQ_LEN,
+            },
+            f,
+            indent=1,
+        )
+    return val
+
+
+def main() -> None:
+    ours = measure_jax()
+    try:
+        base = baseline_samples_per_sec()
+    except Exception as e:  # baseline measurement must never sink the bench
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        base = None
+    result = {
+        "metric": "train_samples_per_sec",
+        "value": round(ours, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(ours / base, 2) if base else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

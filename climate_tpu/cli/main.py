@@ -13,7 +13,6 @@ import os
 import sys
 
 from ..config.loader import compose, to_yaml
-from ..train.experiment import Experiment
 from ..utils.logging import get_logger
 
 log = get_logger("climate_tpu")
@@ -26,6 +25,16 @@ def main(argv: list[str] | None = None) -> dict:
     config_dir = os.environ.get("CLIMATE_TPU_CONFIG_DIR", DEFAULT_CONFIG_DIR)
     cfg = compose(config_dir, overrides=argv)
     log.info(f"Config:\n{to_yaml(cfg)}")
+
+    # Honor trainer.accelerator before the backend initializes (the ambient
+    # env pins JAX_PLATFORMS=axon; jax.config wins over it).
+    accel = cfg.get("trainer", {}).get("accelerator", "tpu")
+    if accel == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..train.experiment import Experiment
 
     exp = Experiment(cfg)
     if int(cfg.get("trainer", {}).get("max_epochs", 1)) > 0:

@@ -95,6 +95,7 @@ def load_ssp_arrays(
     member_ids: list[int],
     add_seasonal: bool = False,
     mask_tas_below: float | None = None,
+    sanitize_threshold: float | None = 1e10,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inputs & outputs for all requested members, concatenated on time.
 
@@ -127,7 +128,18 @@ def load_ssp_arrays(
                 arr = np.broadcast_to(arr[:, None, None], (arr.shape[0], ny, nx))
             elif set(rem) not in ({"time", "y", "x"}, {"time", "latitude", "longitude"}):
                 raise ValueError(f"Unexpected dims {dims} for {var}")
-            chans.append(np.asarray(arr))
+            arr = np.asarray(arr)
+            if sanitize_threshold is not None:
+                # The public store carries bit-corrupted scalars in CO2/CH4
+                # (|x| up to 1e304; physically these channels are O(1e-12..1e4)).
+                # The reference's pervasive nan-stats (da.nanmean/nanstd,
+                # main_baseline.py:211-214) imply such points were NaN in the
+                # original data — restore that: garbage -> NaN, skipped by
+                # stats, zero-filled after normalization (experiment.py).
+                bad = np.abs(arr) > sanitize_threshold
+                if bad.any():
+                    arr = np.where(bad, np.nan, arr)
+            chans.append(arr)
         if add_seasonal:
             ny = group.meta("y").shape[0]
             nx = group.meta("x").shape[0]
@@ -173,6 +185,7 @@ def prepare_databundle(
     member_ids: list[int] | None = None,
     seasonal_embeddings: bool = False,
     mask_tas_below: float | None = None,
+    sanitize_threshold: float | None = 1e10,
     val_ssp: str = "ssp370",
     val_months: int | None = None,
 ) -> DataBundle:
@@ -190,6 +203,7 @@ def prepare_databundle(
         return load_ssp_arrays(
             group, ssp, input_vars, output_vars, mems,
             add_seasonal=seasonal_embeddings, mask_tas_below=mask_tas_below,
+            sanitize_threshold=sanitize_threshold,
         )
 
     train_in, train_out = [], []

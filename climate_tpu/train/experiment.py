@@ -65,6 +65,7 @@ class Experiment:
             member_ids=list(data_cfg.get("member_ids", [0])),
             seasonal_embeddings=bool(data_cfg.get("seasonal_embeddings", False)),
             mask_tas_below=data_cfg.get("mask_tas_below"),
+            sanitize_threshold=data_cfg.get("sanitize_threshold", 1e10),
         )
         self.bundle = bundle
         self.lat, self.lon = bundle.lat, bundle.lon
@@ -79,20 +80,26 @@ class Experiment:
             self.input_stats = tf.global_zscore_stats(bundle.train.inputs)
             self.output_stats = tf.global_zscore_stats(bundle.train.outputs)
 
-        # --- normalize on host (f8 math like dask), then device-resident NHWC ---
+        # --- normalize on host (f8 math like dask), then device-resident NHWC.
+        # Sanitized (corrupt -> NaN) input points are zero-filled in z-space
+        # after normalization; nan-stats already excluded them.
         repl = replicated(self.mesh)
+
+        def norm_in(x):
+            return np.nan_to_num(tf.normalize(x, self.input_stats), nan=0.0)
+
         self.train_ds = DeviceDataset.from_host(
-            tf.normalize(bundle.train.inputs, self.input_stats),
+            norm_in(bundle.train.inputs),
             tf.normalize(bundle.train.outputs, self.output_stats),
             sharding=repl,
         )
         self.val_ds = DeviceDataset.from_host(
-            tf.normalize(bundle.val.inputs, self.input_stats),
+            norm_in(bundle.val.inputs),
             tf.normalize(bundle.val.outputs, self.output_stats),
             sharding=repl,
         )
         self.test_ds = DeviceDataset.from_host(
-            tf.normalize(bundle.test.inputs, self.input_stats),
+            norm_in(bundle.test.inputs),
             bundle.test.outputs,  # raw targets (reference parity)
             sharding=repl,
         )
@@ -103,8 +110,16 @@ class Experiment:
         # --- model + optimizer + compiled steps ---
         self.model = get_model(cfg)
         self.seq_len = int(data_cfg.get("seq_len", 1)) if is_sequence_model(cfg) else None
-        self.batch_size = int(data_cfg.get("batch_size", 32))
-        self.eval_batch_size = int(data_cfg.get("eval_batch_size") or self.batch_size)
+        n_mesh = self.mesh.size
+
+        def _round_bs(bs: int) -> int:
+            r = ((bs + n_mesh - 1) // n_mesh) * n_mesh
+            if r != bs:
+                log.warning(f"batch_size {bs} rounded up to {r} (multiple of {n_mesh} mesh devices)")
+            return r
+
+        self.batch_size = _round_bs(int(data_cfg.get("batch_size", 32)))
+        self.eval_batch_size = _round_bs(int(data_cfg.get("eval_batch_size") or self.batch_size))
 
         training = cfg.get("training", {})
         self.tx = build_optimizer(float(training.get("lr", 5e-4)), float(training.get("weight_decay", 0.0)))
@@ -142,6 +157,30 @@ class Experiment:
             mode=ckpt_cfg.get("mode", "min"),
             save_last=bool(ckpt_cfg.get("save_last", True)),
         )
+        # --- jitted whole-split metric programs (one device sync per epoch;
+        # the reference syncs per step, SURVEY.md 2.6.7) ---
+        repl = replicated(self.mesh)
+
+        def _val_metrics_fn(preds_norm, targets_norm):
+            val_loss = jnp.mean(
+                (preds_norm.astype(jnp.float32) - targets_norm.astype(jnp.float32)) ** 2
+            )
+            preds = self._denorm_tchw(preds_norm)
+            trues = self._denorm_tchw(targets_norm)  # round-trip, main_baseline.py:346
+            m = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="val")
+            m["val/loss"] = val_loss
+            m["val/kaggle_score"] = kaggle_composite_score(preds, trues, self.lat, self.output_vars)
+            return m
+
+        def _test_metrics_fn(preds_norm, targets_raw):
+            preds = self._denorm_tchw(preds_norm)
+            trues = jnp.transpose(targets_raw, (0, 3, 1, 2))
+            m = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="test")
+            return preds, m
+
+        self._val_metrics = jax.jit(_val_metrics_fn, in_shardings=(repl, repl), out_shardings=repl)
+        self._test_metrics = jax.jit(_test_metrics_fn, in_shardings=(repl, repl), out_shardings=repl)
+
         self.start_epoch = 0
         if cfg.get("ckpt_path"):
             self.state, meta = restore_from_path(cfg["ckpt_path"], self.state)
@@ -217,16 +256,7 @@ class Experiment:
         preds_norm = predict_dataset(
             self.step_fns, self.state, self.val_ds.inputs, self.val_ds.n, self.eval_batch_size
         )
-        val_loss = masked_mse(
-            preds_norm, self.val_ds.outputs, jnp.ones(preds_norm.shape[0], jnp.float32)
-        )
-        preds = self._denorm_tchw(preds_norm)
-        # reference round-trips targets through normalize->inverse
-        # (main_baseline.py:346), reproduced here:
-        trues = self._denorm_tchw(self.val_ds.outputs)
-        metrics = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="val")
-        metrics["val/loss"] = val_loss
-        metrics["val/kaggle_score"] = kaggle_composite_score(preds, trues, self.lat, self.output_vars)
+        metrics = self._val_metrics(preds_norm, self.val_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
         self.metrics_logger.log(metrics, step=int(self.state.step))
         return metrics
@@ -238,9 +268,7 @@ class Experiment:
         preds_norm = predict_dataset(
             self.step_fns, self.state, self.test_ds.inputs, self.test_ds.n, self.eval_batch_size
         )
-        preds = self._denorm_tchw(preds_norm)
-        trues = jnp.transpose(self.test_ds.outputs, (0, 3, 1, 2))
-        metrics = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="test")
+        preds, metrics = self._test_metrics(preds_norm, self.test_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
         self.metrics_logger.log(metrics, step=int(self.state.step))
 

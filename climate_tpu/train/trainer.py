@@ -46,6 +46,7 @@ class StepFunctions:
 
     train_step: callable
     predict: callable
+    predict_split_for: callable = None  # (n, batch_size) -> jitted whole-split fn
 
     @staticmethod
     def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
@@ -106,7 +107,34 @@ class StepFunctions:
             in_shardings=(repl, repl, shard_b),
             out_shardings=shard_b,
         )
-        return StepFunctions(train_step=train_step, predict=predict)
+
+        # Whole-split inference as ONE jitted program: lax.map over fixed-size
+        # batches, batch axis sharded per step via constraint, result
+        # replicated. Keeps eval to a single compiled collective schedule
+        # (eager per-op collectives on sharded arrays deadlock oversubscribed
+        # CPU meshes and waste launches on TPU).
+        @functools.lru_cache(maxsize=None)
+        def predict_split_for(n: int, batch_size: int):
+            n_batches = -(-n // batch_size)
+
+            def _run(state, x_all):
+                starts = jnp.arange(n_batches, dtype=jnp.int32) * batch_size
+
+                def step(start):
+                    idx = jnp.minimum(start + jnp.arange(batch_size, dtype=jnp.int32), n - 1)
+                    x = gather(x_all, idx)
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P(DATA_AXIS))
+                    )
+                    pred, _ = forward(state.params, state.batch_stats, x, None, train=False)
+                    return pred
+
+                preds = jax.lax.map(step, starts)  # (nb, bs, H, W, C)
+                return preds.reshape(n_batches * batch_size, *preds.shape[2:])[:n]
+
+            return jax.jit(_run, in_shardings=(repl, repl), out_shardings=repl)
+
+        return StepFunctions(train_step=train_step, predict=predict, predict_split_for=predict_split_for)
 
 
 def pad_batch(idx: np.ndarray, batch_size: int) -> tuple[np.ndarray, np.ndarray]:
@@ -123,11 +151,5 @@ def pad_batch(idx: np.ndarray, batch_size: int) -> tuple[np.ndarray, np.ndarray]
 
 
 def predict_dataset(step_fns: StepFunctions, state, x_all, n: int, batch_size: int):
-    """Normalized predictions for a whole split, fixed-shape batches."""
-    preds = []
-    for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
-        idx_p, _ = pad_batch(idx, batch_size)
-        p = step_fns.predict(state, x_all, jnp.asarray(idx_p))
-        preds.append(p[: len(idx)])
-    return jnp.concatenate(preds, axis=0)
+    """Normalized predictions for a whole split — one jitted program."""
+    return step_fns.predict_split_for(n, batch_size)(state, x_all)

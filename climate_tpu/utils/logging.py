@@ -24,7 +24,15 @@ except ImportError:
 
 
 def is_main_process() -> bool:
-    return jax.process_index() == 0
+    # Avoid jax.process_index(): it initializes the backend, which would pin
+    # the platform before the CLI can honor trainer.accelerator. Multi-host
+    # process id is available without backend init via the distributed state.
+    try:
+        from jax._src import distributed
+
+        return (distributed.global_state.process_id or 0) == 0
+    except Exception:
+        return True
 
 
 def get_logger(name: str = __name__, level=logging.INFO) -> logging.Logger:

@@ -4,7 +4,7 @@ the reference never had — SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: ambient env sets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -12,6 +12,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The ambient environment pins JAX_PLATFORMS=axon (real TPU via tunnel) and
+# the axon plugin wins over the env var — force CPU through jax.config, which
+# takes precedence. Tests must run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA-CPU compiles are ~15s each on this host's
 # single core; cache them across test runs.

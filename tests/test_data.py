@@ -73,10 +73,27 @@ class TestETL:
         assert x.shape == (1021, 5, 48, 72)
         assert y.shape == (1021, 2, 48, 72)
         # CO2 is global: constant over the spatial grid per timestep
+        # (NaN-aware: sanitization maps the store's corrupted scalars to NaN)
         co2 = x[:, 0]
-        assert np.all(co2 == co2[:, :1, :1])
+        eq = (co2 == co2[:, :1, :1]) | (np.isnan(co2) & np.isnan(co2[:, :1, :1]))
+        assert np.all(eq)
         # rsdt channel is spatially resolved
         assert np.std(x[100, 4]) > 0
+
+    def test_sanitize_corrupted_globals(self, zarr_group):
+        from climate_tpu.data.etl import load_ssp_arrays
+
+        # the public store carries bit-corrupted CO2/CH4 scalars (|x|>1e30)
+        x_raw, _ = load_ssp_arrays(
+            zarr_group, "ssp370", ["CO2", "CH4"], OUTPUT_VARS, [0], sanitize_threshold=None
+        )
+        assert np.abs(x_raw).max() > 1e30
+        x_clean, _ = load_ssp_arrays(
+            zarr_group, "ssp370", ["CO2", "CH4"], OUTPUT_VARS, [0], sanitize_threshold=1e10
+        )
+        finite = np.isfinite(x_clean)
+        assert np.abs(x_clean[finite]).max() < 1e10
+        assert np.isnan(x_clean).any()  # garbage became NaN (skipped by nan-stats)
 
     @pytest.mark.parametrize(
         "pipeline,kwargs,expected",

@@ -1,0 +1,190 @@
+"""Training engine tests: jitted step, masked loss, window gather, sharding
+over the 8-device CPU mesh, optimizer parity, checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climate_tpu.data.dataset import (
+    DeviceDataset,
+    epoch_permutation,
+    eval_batches,
+    gather_windows,
+)
+from climate_tpu.models import UNet, AttUNetConvLSTM
+from climate_tpu.parallel.mesh import create_mesh, replicate
+from climate_tpu.train.state import build_optimizer, create_train_state
+from climate_tpu.train.trainer import StepFunctions, masked_mse, pad_batch, predict_dataset
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    return create_mesh(8)
+
+
+@pytest.fixture()
+def tiny_setup(mesh8):
+    # function-scoped: train_step donates its input state (buffers are
+    # consumed), so every test needs a fresh one
+    rng = jax.random.PRNGKey(0)
+    model = UNet(n_output_channels=2, base=8)
+    tx = build_optimizer(1e-3)
+    x = jnp.zeros((16, 48, 72, 5))
+    state = create_train_state(model, rng, x, tx)
+    state = replicate(mesh8, state)
+    fns = StepFunctions.build(
+        model, tx, mesh8, seq_len=None, output_stats={}, has_batch_stats=False, use_dropout=False
+    )
+    data_x = jax.random.normal(jax.random.PRNGKey(1), (40, 48, 72, 5))
+    data_y = jax.random.normal(jax.random.PRNGKey(2), (40, 48, 72, 2))
+    data_x, data_y = replicate(mesh8, (data_x, data_y))
+    return model, state, fns, data_x, data_y
+
+
+class TestMaskedLoss:
+    def test_equals_mse_with_full_mask(self):
+        p = jnp.arange(24.0).reshape(4, 3, 2)
+        t = jnp.ones((4, 3, 2))
+        full = masked_mse(p, t, jnp.ones(4))
+        assert float(full) == pytest.approx(float(jnp.mean((p - t) ** 2)), rel=1e-6)
+
+    def test_ignores_masked_rows(self):
+        p = jnp.stack([jnp.ones((3, 2)), 100 * jnp.ones((3, 2))])
+        t = jnp.zeros((2, 3, 2))
+        got = masked_mse(p, t, jnp.asarray([1.0, 0.0]))
+        assert float(got) == pytest.approx(1.0, rel=1e-6)
+
+
+class TestWindowGather:
+    def test_zero_left_padding_semantics(self):
+        # matches main_final.py:123-145: window [idx-T+1..idx], zeros before t=0
+        data = jnp.arange(5.0)[:, None, None, None] * jnp.ones((5, 2, 2, 1))
+        out = gather_windows(data, jnp.asarray([0, 2, 4]), seq_len=3)
+        assert out.shape == (3, 3, 2, 2, 1)
+        np.testing.assert_allclose(out[0, :, 0, 0, 0], [0.0, 0.0, 0.0])  # pads + frame0
+        np.testing.assert_allclose(out[1, :, 0, 0, 0], [0.0, 1.0, 2.0])
+        np.testing.assert_allclose(out[2, :, 0, 0, 0], [2.0, 3.0, 4.0])
+
+
+class TestBatching:
+    def test_pad_batch(self):
+        idx, mask = pad_batch(np.asarray([5, 6, 7]), 8)
+        assert idx.shape == (8,) and mask.sum() == 3
+        np.testing.assert_array_equal(idx[:3], [5, 6, 7])
+
+    def test_epoch_permutation_covers_all(self):
+        rng = np.random.default_rng(0)
+        batches = epoch_permutation(rng, 10, 4)
+        seen = np.concatenate(batches)
+        assert sorted(seen.tolist()) == list(range(10))
+        assert [len(b) for b in batches] == [4, 4, 2]
+
+    def test_eval_batches_sequential(self):
+        bs = eval_batches(10, 4)
+        np.testing.assert_array_equal(np.concatenate(bs), np.arange(10))
+
+
+class TestShardedTrainStep:
+    def test_step_runs_and_reduces_loss(self, tiny_setup):
+        model, state, fns, data_x, data_y = tiny_setup
+        rng = jax.random.PRNGKey(3)
+        losses = []
+        for i in range(5):
+            idx, mask = pad_batch(np.arange(16), 16)
+            state, loss = fns.train_step(
+                state, data_x, data_y, jnp.asarray(idx), jnp.asarray(mask), rng
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_batch_is_sharded_over_mesh(self, tiny_setup, mesh8):
+        model, state, fns, data_x, data_y = tiny_setup
+        idx, _ = pad_batch(np.arange(16), 16)
+        pred = fns.predict(state, data_x, jnp.asarray(idx))
+        # output batch axis must be sharded over the 8-device data axis
+        assert len(pred.sharding.device_set) == 8
+
+    def test_predict_dataset_matches_direct_apply(self, tiny_setup):
+        model, state, fns, data_x, data_y = tiny_setup
+        preds = predict_dataset(fns, state, data_x, 10, batch_size=8)
+        assert preds.shape == (10, 48, 72, 2)
+        direct = jax.jit(lambda v, x: model.apply(v, x))(
+            {"params": state.params}, data_x[:10]
+        )
+        np.testing.assert_allclose(np.asarray(preds), np.asarray(direct), rtol=2e-4, atol=2e-5)
+
+
+class TestSequenceTrainStep:
+    def test_window_model_step(self, mesh8):
+        rng = jax.random.PRNGKey(0)
+        model = AttUNetConvLSTM(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        x_ex = jnp.zeros((8, 3, 48, 72, 5))
+        state = replicate(mesh8, create_train_state(model, rng, x_ex, tx))
+        fns = StepFunctions.build(
+            model, tx, mesh8, seq_len=3, output_stats={}, has_batch_stats=False, use_dropout=False
+        )
+        data_x = jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 5))
+        data_y = jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2))
+        data_x, data_y = replicate(mesh8, (data_x, data_y))
+        idx, mask = pad_batch(np.asarray([0, 1, 5, 19]), 8)
+        state, loss = fns.train_step(
+            state, data_x, data_y, jnp.asarray(idx), jnp.asarray(mask), rng
+        )
+        assert np.isfinite(float(loss))
+
+
+class TestOptimizerParity:
+    def test_adam_matches_torch_semantics(self):
+        """torch.optim.Adam with weight_decay folds wd*p into the gradient
+        before the moment updates (L2, not AdamW) — verify against torch."""
+        torch = pytest.importorskip("torch")
+
+        w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+        g = np.random.default_rng(1).normal(size=(4, 3)).astype(np.float32)
+
+        p = torch.nn.Parameter(torch.tensor(w0.copy()))
+        opt = torch.optim.Adam([p], lr=1e-3, weight_decay=0.1)
+        for _ in range(3):
+            opt.zero_grad()
+            p.grad = torch.tensor(g.copy())
+            opt.step()
+        torch_result = p.detach().numpy()
+
+        import optax
+
+        tx = build_optimizer(1e-3, weight_decay=0.1)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+        for _ in range(3):
+            updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params["w"]), torch_result, rtol=1e-5, atol=1e-6)
+
+
+class TestCheckpoint:
+    def test_roundtrip_with_stats(self, tmp_path, mesh8):
+        from climate_tpu.train.checkpoint import CheckpointManager
+
+        rng = jax.random.PRNGKey(0)
+        model = UNet(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        state = create_train_state(model, rng, jnp.zeros((2, 48, 72, 5)), tx)
+        in_stats = {0: {"method": "zscore", "params": {"mean": 1.0, "std": 2.0, "eps": 0.0}}}
+        out_stats = {0: {"method": "log1p", "params": {"mean": 0.5, "std": 1.5, "eps": 1e-8}}}
+
+        mgr = CheckpointManager(str(tmp_path))
+        improved = mgr.save(state, {"val/loss": 1.0}, epoch=0, input_stats=in_stats, output_stats=out_stats)
+        assert improved
+        assert not mgr.save(state, {"val/loss": 2.0}, epoch=1, input_stats=in_stats, output_stats=out_stats)
+
+        restored, meta = mgr.restore(state, name="best")
+        assert meta["epoch"] == 0
+        assert meta["output_stats"] == out_stats  # stats ride along (fixes reference gap)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
