@@ -39,10 +39,28 @@ def _package_target(path: str, text: str) -> list[str]:
     return pkg.split(".")
 
 
+_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _fix_numbers(node: Any) -> Any:
+    """PyYAML (YAML 1.1) leaves '5e-4' as a string; OmegaConf — whose config
+    surface we mirror — parses it as a float. Coerce numeric-looking strings."""
+    if isinstance(node, dict):
+        return {k: _fix_numbers(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_fix_numbers(v) for v in node]
+    if isinstance(node, str) and _NUMERIC_RE.match(node):
+        try:
+            return int(node)
+        except ValueError:
+            return float(node)
+    return node
+
+
 def _load_yaml(path: str) -> tuple[dict, list[str]]:
     with open(path) as f:
         text = f.read()
-    data = yaml.safe_load(text) or {}
+    data = _fix_numbers(yaml.safe_load(text) or {})
     return data, _package_target(path, text)
 
 
@@ -66,7 +84,7 @@ def _merge(dst: dict, src: dict) -> None:
 
 def _coerce(s: str) -> Any:
     """YAML-style scalar coercion for CLI override values."""
-    return yaml.safe_load(s)
+    return _fix_numbers(yaml.safe_load(s))
 
 
 def compose(

@@ -50,6 +50,10 @@ class Experiment:
         self.mesh = create_mesh(n_dev)
         log.info(f"Mesh: {self.mesh.shape} over {platform}")
 
+        if trainer_cfg.get("debug_nans"):
+            # NaN-check mode (SURVEY.md section 5: the reference has none)
+            jax.config.update("jax_debug_nans", True)
+
         # --- data ---
         self.pipeline = data_cfg.get("pipeline", "baseline")
         group = open_zarr(data_cfg["path"])
@@ -162,9 +166,10 @@ class Experiment:
         repl = replicated(self.mesh)
 
         def _val_metrics_fn(preds_norm, targets_norm):
-            val_loss = jnp.mean(
-                (preds_norm.astype(jnp.float32) - targets_norm.astype(jnp.float32)) ** 2
-            )
+            # metric math is always fp32, independent of model compute dtype
+            preds_norm = preds_norm.astype(jnp.float32)
+            targets_norm = targets_norm.astype(jnp.float32)
+            val_loss = jnp.mean((preds_norm - targets_norm) ** 2)
             preds = self._denorm_tchw(preds_norm)
             trues = self._denorm_tchw(targets_norm)  # round-trip, main_baseline.py:346
             m = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="val")
@@ -173,7 +178,7 @@ class Experiment:
             return m
 
         def _test_metrics_fn(preds_norm, targets_raw):
-            preds = self._denorm_tchw(preds_norm)
+            preds = self._denorm_tchw(preds_norm.astype(jnp.float32))
             trues = jnp.transpose(targets_raw, (0, 3, 1, 2))
             m = evaluate_predictions(preds, trues, self.lat, self.output_vars, phase="test")
             return preds, m
@@ -236,6 +241,11 @@ class Experiment:
 
                 val_metrics = self.validate(epoch)
                 last_val = val_metrics
+                # LR stream (reference: LearningRateMonitor, trainer/default.yaml:21-22)
+                self.metrics_logger.log(
+                    {"lr": float(self.cfg.get("training", {}).get("lr", 5e-4))},
+                    step=int(self.state.step),
+                )
                 self.ckpt.save(self.state, val_metrics, epoch, self.input_stats, self.output_stats)
                 log.info(
                     f"epoch {epoch}: train/loss={np.mean(losses) if losses else float('nan'):.4f} "
@@ -244,7 +254,22 @@ class Experiment:
                     f"({time.perf_counter() - epoch_t0:.1f}s, "
                     f"{self.timer.samples_per_sec:.0f} samples/s)"
                 )
+
+        if cfg_tr.get("visualize_worst_loss"):
+            self._visualize_worst_train_loss()
         return last_val
+
+    def _visualize_worst_train_loss(self) -> None:
+        """Worst-train-loss panels at train end (main_ensemble.py:488-547)."""
+        from ..eval.plots import worst_loss_panels
+
+        preds_norm = predict_dataset(
+            self.step_fns, self.state, self.train_ds.inputs, self.train_ds.n, self.eval_batch_size
+        )
+        preds = np.asarray(jnp.transpose(preds_norm, (0, 3, 1, 2)), dtype=np.float32)
+        trues = np.asarray(jnp.transpose(self.train_ds.outputs, (0, 3, 1, 2)), dtype=np.float32)
+        paths = worst_loss_panels(self.run_dir, preds, trues, self.output_vars)
+        log.info(f"Saved {len(paths)} worst-loss panels under {self.run_dir}/plots/worst_loss")
 
     # ------------------------------------------------------------------
     def _denorm_tchw(self, preds_nhwc):
@@ -271,6 +296,18 @@ class Experiment:
         preds, metrics = self._test_metrics(preds_norm, self.test_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
         self.metrics_logger.log(metrics, step=int(self.state.step))
+
+        if self.cfg.get("trainer", {}).get("save_plots"):
+            from ..eval.plots import save_epoch_panels
+
+            save_epoch_panels(
+                self.run_dir,
+                "test",
+                np.asarray(preds, dtype=np.float32),
+                np.asarray(jnp.transpose(self.test_ds.outputs, (0, 3, 1, 2)), dtype=np.float32),
+                self.output_vars,
+                metrics,
+            )
 
         if save_submission:
             preds_np = np.asarray(preds)

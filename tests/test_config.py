@@ -1,0 +1,67 @@
+"""Config composition: Hydra-surface parity (groups, @package headers,
+dotted overrides, group swaps) without Hydra."""
+
+import os
+
+import pytest
+
+from climate_tpu.config.loader import compose, to_yaml
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+class TestCompose:
+    def test_defaults_compose(self):
+        cfg = compose(CONFIG_DIR)
+        # main_config.yaml defaults: data_final + unet_convlstm_attention
+        assert cfg["data"]["pipeline"] == "final"
+        assert cfg["model"]["type"] == "unet_convlstm_attention"
+        assert cfg["training"]["lr"] == pytest.approx(5e-4)
+        assert cfg["trainer"]["max_epochs"] == 50
+        assert cfg["seed"] == 42
+
+    def test_group_swap(self):
+        cfg = compose(CONFIG_DIR, overrides=["data=default", "model=SimpleCNN"])
+        assert cfg["data"]["pipeline"] == "baseline"
+        assert cfg["model"]["type"] == "SimpleCNN"
+        assert cfg["model"]["init_dim"] == 64
+
+    def test_dotted_overrides_with_coercion(self):
+        cfg = compose(
+            CONFIG_DIR,
+            overrides=[
+                "training.lr=1e-3",
+                "trainer.max_epochs=3",
+                "data.train_ssps=[ssp126,ssp585]",
+                "use_wandb=true",
+                "ckpt_path=null",
+            ],
+        )
+        assert cfg["training"]["lr"] == pytest.approx(1e-3)
+        assert cfg["trainer"]["max_epochs"] == 3
+        assert cfg["data"]["train_ssps"] == ["ssp126", "ssp585"]
+        assert cfg["use_wandb"] is True
+        assert cfg["ckpt_path"] is None
+
+    def test_new_key_creation(self):
+        cfg = compose(CONFIG_DIR, overrides=["data.custom_flag=7"])
+        assert cfg["data"]["custom_flag"] == 7
+
+    def test_transform_map_surface(self):
+        # same recipe keys as reference configs/data/data_final.yaml:27-44
+        cfg = compose(CONFIG_DIR)
+        tm = cfg["data"]["transform_map"]
+        assert tm["CO2"]["method"] == "log1p"
+        assert tm["rsdt"] == {"method": "minimax", "min": 0, "max": 550}
+        assert tm["tas"]["method"] == "zscore"
+        assert tm["pr"]["method"] == "log1p"
+
+    def test_malformed_override_raises(self):
+        with pytest.raises(ValueError, match="key=value"):
+            compose(CONFIG_DIR, overrides=["oops"])
+
+    def test_to_yaml_roundtrip(self):
+        import yaml
+
+        cfg = compose(CONFIG_DIR)
+        assert yaml.safe_load(to_yaml(cfg)) == cfg
