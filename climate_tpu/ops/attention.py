@@ -29,13 +29,12 @@ def _xla_attention(q, k, v):
 
 
 def _pallas_supported(q) -> bool:
-    if os.environ.get("CLIMATE_TPU_ATTN") == "xla":
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        return False
-    if platform != "tpu" and os.environ.get("CLIMATE_TPU_ATTN") != "pallas":
+    # Measured on TPU v5e (tools/kernel_bench.py): at the production shape
+    # (b=64, n=216, h=4, d=32) XLA's fused einsum wins — 21us vs 86us — the
+    # workload is far below the size where kernel fusion pays. Honest default
+    # is therefore XLA (SURVEY.md stage 7: "keep whichever wins"); the Pallas
+    # kernel stays as the opt-in path and the building block for larger grids.
+    if os.environ.get("CLIMATE_TPU_ATTN") != "pallas":
         return False
     b, n, h, d = q.shape
     # single-block kernel: whole (padded) score matrix must sit in VMEM

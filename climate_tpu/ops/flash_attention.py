@@ -61,6 +61,8 @@ def _flash_fwd_impl(q, k, v):
     qb, kb, vb = to_blocks(q), to_blocks(k), to_blocks(v)
 
     kernel = functools.partial(_attn_kernel, n_actual=n, scale=scale)
+    # Mosaic targets TPU; on CPU (tests / virtual meshes) run interpreted.
+    interpret = jax.devices()[0].platform != "tpu"
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
@@ -69,6 +71,7 @@ def _flash_fwd_impl(q, k, v):
         ],
         out_specs=pl.BlockSpec((1, n_pad, d_pad), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        interpret=interpret,
     )(qb, kb, vb)
     out = out[:, :n, :d].reshape(b, h, n, d)
     return jnp.transpose(out, (0, 2, 1, 3))

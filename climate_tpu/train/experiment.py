@@ -213,31 +213,53 @@ class Experiment:
         host_rng = np.random.default_rng(self.seed)
         drop_rng = jax.random.PRNGKey(self.seed + 1)
 
+        fuse_epoch = bool(cfg_tr.get("fuse_epoch", True))
+
         last_val: dict = {}
         with profile_trace(os.path.join(self.run_dir, "profile"), enabled=bool(cfg_tr.get("profile"))):
             for epoch in range(self.start_epoch, max_epochs):
                 epoch_t0 = time.perf_counter()
-                losses = []
-                for bi, idx in enumerate(
-                    epoch_permutation(host_rng, self.train_ds.n, self.batch_size)
-                ):
-                    idx_p, mask = pad_batch(idx, self.batch_size)
-                    rng = jax.random.fold_in(drop_rng, int(self.state.step))
+                batches = epoch_permutation(host_rng, self.train_ds.n, self.batch_size)
+                if fuse_epoch:
+                    # whole epoch = ONE dispatch (lax.scan over batches);
+                    # dropout rngs fold per-step from state.step inside.
+                    padded = [pad_batch(b, self.batch_size) for b in batches]
+                    idx_mat = jnp.asarray(np.stack([p[0] for p in padded]))
+                    mask_mat = jnp.asarray(np.stack([p[1] for p in padded]))
+                    rng = jax.random.fold_in(drop_rng, epoch)
                     self.timer.start()
-                    self.state, loss = self.step_fns.train_step(
-                        self.state,
-                        self.train_ds.inputs,
-                        self.train_ds.outputs,
-                        jnp.asarray(idx_p),
-                        jnp.asarray(mask),
-                        rng,
+                    self.state, loss_seq = self.step_fns.train_epoch(
+                        self.state, self.train_ds.inputs, self.train_ds.outputs,
+                        idx_mat, mask_mat, rng,
                     )
-                    if bi % log_every == 0:
-                        loss = float(loss)  # sync point only when logging
-                        losses.append(loss)
-                        self.metrics_logger.log({"train/loss": loss}, step=int(self.state.step))
-                    jax.block_until_ready(self.state.params) if bi < 3 else None
-                    self.timer.stop(int(mask.sum()))
+                    jax.block_until_ready(self.state.params)
+                    self.timer.stop(int(sum(len(b) for b in batches)))
+                    loss_host = np.asarray(loss_seq)
+                    losses = list(loss_host[::log_every])
+                    base_step = int(self.state.step) - len(batches)
+                    for bi in range(0, len(batches), log_every):
+                        self.metrics_logger.log(
+                            {"train/loss": float(loss_host[bi])}, step=base_step + bi + 1
+                        )
+                else:
+                    losses = []
+                    for bi, idx in enumerate(batches):
+                        idx_p, mask = pad_batch(idx, self.batch_size)
+                        rng = jax.random.fold_in(drop_rng, int(self.state.step))
+                        self.timer.start()
+                        self.state, loss = self.step_fns.train_step(
+                            self.state,
+                            self.train_ds.inputs,
+                            self.train_ds.outputs,
+                            jnp.asarray(idx_p),
+                            jnp.asarray(mask),
+                            rng,
+                        )
+                        if bi % log_every == 0:
+                            loss = float(loss)  # sync point only when logging
+                            losses.append(loss)
+                            self.metrics_logger.log({"train/loss": loss}, step=int(self.state.step))
+                        self.timer.stop(int(mask.sum()))
 
                 val_metrics = self.validate(epoch)
                 last_val = val_metrics

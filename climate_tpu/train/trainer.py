@@ -47,6 +47,7 @@ class StepFunctions:
     train_step: callable
     predict: callable
     predict_split_for: callable = None  # (n, batch_size) -> jitted whole-split fn
+    train_epoch: callable = None  # whole epoch as one lax.scan dispatch
 
     @staticmethod
     def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
@@ -75,7 +76,7 @@ class StepFunctions:
             pred, new_bs = forward(params, batch_stats, x, rng, train=True)
             return masked_mse(pred, y, mask), new_bs
 
-        def _train_step(state, x_all, y_all, idx, mask, rng):
+        def _step_body(state, x_all, y_all, idx, mask, rng):
             x = gather(x_all, idx)
             y = gather_frames(y_all, idx)
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -88,6 +89,22 @@ class StepFunctions:
             )
             return new_state, loss
 
+        def _train_step(state, x_all, y_all, idx, mask, rng):
+            return _step_body(state, x_all, y_all, idx, mask, rng)
+
+        def _train_epoch(state, x_all, y_all, idx_mat, mask_mat, rng0):
+            """A whole epoch as one lax.scan: one host dispatch instead of
+            n_batches (dispatch latency dominates small-step training,
+            especially through the axon tunnel)."""
+
+            def body(carry, inp):
+                idx, mask = inp
+                rng = jax.random.fold_in(rng0, carry.step)
+                new_state, loss = _step_body(carry, x_all, y_all, idx, mask, rng)
+                return new_state, loss
+
+            return jax.lax.scan(body, state, (idx_mat, mask_mat))
+
         def _predict(state, x_all, idx):
             """Eval forward for a (padded) index batch -> normalized preds."""
             x = gather(x_all, idx)
@@ -99,6 +116,13 @@ class StepFunctions:
         train_step = jax.jit(
             _train_step,
             in_shardings=(repl, repl, repl, shard_b, shard_b, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        shard_steps = NamedSharding(mesh, P(None, DATA_AXIS))  # (n_batches, B)
+        train_epoch = jax.jit(
+            _train_epoch,
+            in_shardings=(repl, repl, repl, shard_steps, shard_steps, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
@@ -134,7 +158,12 @@ class StepFunctions:
 
             return jax.jit(_run, in_shardings=(repl, repl), out_shardings=repl)
 
-        return StepFunctions(train_step=train_step, predict=predict, predict_split_for=predict_split_for)
+        return StepFunctions(
+            train_step=train_step,
+            predict=predict,
+            predict_split_for=predict_split_for,
+            train_epoch=train_epoch,
+        )
 
 
 def pad_batch(idx: np.ndarray, batch_size: int) -> tuple[np.ndarray, np.ndarray]:

@@ -21,6 +21,8 @@ class StepTimer:
         self._steps = 0
         self._samples = 0
         self._elapsed = 0.0
+        self._samples_all = 0
+        self._elapsed_all = 0.0
         self._t0: float | None = None
 
     def start(self) -> None:
@@ -29,6 +31,8 @@ class StepTimer:
     def stop(self, n_samples: int) -> float:
         dt = time.perf_counter() - self._t0
         self._steps += 1
+        self._samples_all += n_samples
+        self._elapsed_all += dt
         if self._steps > self.warmup_steps:  # skip compile steps
             self._samples += n_samples
             self._elapsed += dt
@@ -36,7 +40,11 @@ class StepTimer:
 
     @property
     def samples_per_sec(self) -> float:
-        return self._samples / self._elapsed if self._elapsed > 0 else 0.0
+        if self._elapsed > 0:
+            return self._samples / self._elapsed
+        # fewer measurements than warmup (e.g. one fused-epoch dispatch):
+        # fall back to the all-inclusive rate rather than reporting 0
+        return self._samples_all / self._elapsed_all if self._elapsed_all > 0 else 0.0
 
     @property
     def mean_step_ms(self) -> float:

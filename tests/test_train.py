@@ -188,3 +188,44 @@ class TestCheckpoint:
             np.asarray(jax.tree.leaves(restored.params)[0]),
             np.asarray(jax.tree.leaves(state.params)[0]),
         )
+
+
+class TestFusedEpoch:
+    def test_epoch_scan_matches_per_step(self, mesh8):
+        """One lax.scan epoch must produce the same params as per-step calls
+        (dropout-free model, identical batch order)."""
+        rng = jax.random.PRNGKey(0)
+        model = UNet(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        x_ex = jnp.zeros((8, 48, 72, 5))
+
+        def fresh_state():
+            return replicate(mesh8, create_train_state(model, rng, x_ex, tx))
+
+        fns = StepFunctions.build(
+            model, tx, mesh8, seq_len=None, output_stats={}, has_batch_stats=False, use_dropout=False
+        )
+        data_x = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(1), (24, 48, 72, 5)))
+        data_y = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(2), (24, 48, 72, 2)))
+
+        batches = [np.arange(0, 8), np.arange(8, 16), np.arange(16, 24)]
+        padded = [pad_batch(b, 8) for b in batches]
+
+        s1 = fresh_state()
+        step_losses = []
+        for idx, mask in padded:
+            s1, loss = fns.train_step(
+                s1, data_x, data_y, jnp.asarray(idx), jnp.asarray(mask), rng
+            )
+            step_losses.append(float(loss))
+
+        s2 = fresh_state()
+        idx_mat = jnp.asarray(np.stack([p[0] for p in padded]))
+        mask_mat = jnp.asarray(np.stack([p[1] for p in padded]))
+        s2, losses = fns.train_epoch(s2, data_x, data_y, idx_mat, mask_mat, rng)
+
+        np.testing.assert_allclose(np.asarray(losses), step_losses, rtol=1e-5, atol=1e-6)
+        # scan vs separate executables: float reassociation only
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6)
+        assert int(s2.step) == 3
