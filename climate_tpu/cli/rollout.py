@@ -1,0 +1,102 @@
+"""Rollout inference CLI — multi-decade scenario emulation from a checkpoint.
+
+  python -m climate_tpu.cli.rollout ckpt_path=<run>/checkpoints/best \
+      data.test_ssp=ssp245 rollout.months=1021 [rollout.feedback=false]
+
+Covers the extended capability (BASELINE.json config 5): load a trained
+flagship, scan over every month of a scenario's forcings (seq_len window,
+zero left-padding), optionally feeding predictions back, and write:
+  - predictions .npz (tas/pr in physical units, (T, y, x) each)
+  - a Kaggle-format CSV over the rolled-out horizon
+The reference has no such tool — its longest inference is the 360-month test
+DataLoader loop (SURVEY.md section 5 long-context note).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..config.loader import compose, to_yaml
+from ..utils.logging import get_logger
+from .main import DEFAULT_CONFIG_DIR
+
+log = get_logger("climate_tpu.rollout")
+
+
+def main(argv: list[str] | None = None) -> dict:
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = compose(os.environ.get("CLIMATE_TPU_CONFIG_DIR", DEFAULT_CONFIG_DIR), overrides=argv)
+    if not cfg.get("ckpt_path"):
+        raise SystemExit("rollout requires ckpt_path=<checkpoint dir>")
+
+    accel = cfg.get("trainer", {}).get("accelerator", "tpu")
+    if accel == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import open_zarr
+    from ..data.etl import load_ssp_arrays
+    from ..eval import kaggle as kaggle_io
+    from ..eval.rollout import rollout_jit
+    from ..train.experiment import Experiment
+    from ..transforms import normalize as tf
+
+    roll_cfg = cfg.get("rollout", {}) or {}
+    months = int(roll_cfg.get("months", 1021))
+    feedback = bool(roll_cfg.get("feedback", False))
+
+    cfg.setdefault("trainer", {})["max_epochs"] = 0
+    log.info(f"Rollout config:\n{to_yaml(cfg)}")
+    exp = Experiment(cfg)  # restores the checkpoint + normalizer stats
+
+    # Forcings for the full scenario horizon (test_ssp), first member.
+    data_cfg = cfg["data"]
+    group = open_zarr(data_cfg["path"])
+    members = [int(data_cfg.get("target_member_id", 0))] if exp.pipeline == "baseline" else [
+        int(list(data_cfg.get("member_ids", [0]))[0])
+    ]
+    forc, _ = load_ssp_arrays(
+        group, data_cfg["test_ssp"], list(data_cfg["input_vars"]), list(data_cfg["output_vars"]),
+        members, add_seasonal=bool(data_cfg.get("seasonal_embeddings", False)),
+        sanitize_threshold=data_cfg.get("sanitize_threshold", 1e10),
+    )
+    forc = forc[:months]
+    forc_norm = np.nan_to_num(tf.normalize(forc, exp.input_stats), nan=0.0).astype(np.float32)
+    forc_nhwc = jnp.asarray(np.moveaxis(forc_norm, 1, -1))
+
+    seq_len = exp.seq_len or int(data_cfg.get("seq_len", 1))
+    variables = exp.state.variables()
+    run = rollout_jit(
+        lambda vv, x: exp.model.apply(vv, x),
+        seq_len=seq_len,
+        feedback_channels=() if not feedback else tuple(range(len(exp.output_vars))),
+    )
+    log.info(f"Rolling out {months} months (seq_len={seq_len}, feedback={feedback})...")
+    preds_norm = run(variables, forc_nhwc)  # (T, H, W, C_out), normalized
+    preds = tf.inverse_transform(
+        jnp.transpose(preds_norm, (0, 3, 1, 2)).astype(jnp.float32), exp.output_stats
+    )
+    preds = np.asarray(preds)
+
+    out_dir = os.path.join(exp.run_dir, "rollout")
+    os.makedirs(out_dir, exist_ok=True)
+    npz_path = os.path.join(out_dir, f"rollout_{data_cfg['test_ssp']}_{months}m.npz")
+    np.savez_compressed(
+        npz_path,
+        lat=exp.lat, lon=exp.lon,
+        **{var: preds[:, i] for i, var in enumerate(exp.output_vars)},
+    )
+    csv_path = os.path.join(out_dir, f"rollout_{data_cfg['test_ssp']}_{months}m.csv")
+    kaggle_io.save_submission(preds, np.arange(months), exp.lat, exp.lon, exp.output_vars, csv_path)
+    log.info(f"Rollout saved: {npz_path} and {csv_path}")
+    return {"npz": npz_path, "csv": csv_path, "months": months}
+
+
+if __name__ == "__main__":
+    main()

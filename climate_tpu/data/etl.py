@@ -87,6 +87,27 @@ def month_index(group: ZarrGroup) -> np.ndarray:
     return np.arange(len(t), dtype=np.int64) % 12
 
 
+def _sanitize_global_series(x: np.ndarray, abs_threshold: float) -> np.ndarray:
+    """Robust cleaning for global scalar forcings (CO2/CH4).
+
+    The public store's corruption is bit-garbage in these two arrays only
+    (spatial fields verified clean); magnitudes range from ~1e5 up to 1e304,
+    so a fixed threshold misses the small-exponent garbage (observed: CH4
+    -7.7e8 while the physical series sits in [0.1, 0.75]). Median/MAD flags
+    anything further than 1000 robust sigmas from the series median -> NaN
+    (skipped by nan-stats, zero-filled post-normalization).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    bad = ~np.isfinite(x) | (np.abs(x) > abs_threshold)
+    finite = x[~bad]
+    if finite.size:
+        med = np.median(finite)
+        mad = np.median(np.abs(finite - med))
+        scale = max(mad * 1.4826, abs(med) * 1e-6, 1e-300)
+        bad |= np.abs(x - med) > 1000.0 * scale
+    return np.where(bad, np.nan, x)
+
+
 def load_ssp_arrays(
     group: ZarrGroup,
     ssp: str,
@@ -122,7 +143,13 @@ def load_ssp_arrays(
                 arr = np.take(arr, m_idx, axis=rem.index("member_id"))
                 rem = [d for d in rem if d != "member_id"]
             if rem == ["time"]:
-                # global scalar forcing -> broadcast to the spatial grid
+                # global scalar forcing: robust-clean the corrupted series
+                # (see _sanitize_global_series), then broadcast spatially.
+                # The reference's pervasive nan-stats (da.nanmean/nanstd,
+                # main_baseline.py:211-214) imply corrupt points were NaN in
+                # the original data — restore that semantics.
+                if sanitize_threshold is not None:
+                    arr = _sanitize_global_series(arr, sanitize_threshold)
                 ny = group.meta("y").shape[0]
                 nx = group.meta("x").shape[0]
                 arr = np.broadcast_to(arr[:, None, None], (arr.shape[0], ny, nx))
@@ -130,12 +157,6 @@ def load_ssp_arrays(
                 raise ValueError(f"Unexpected dims {dims} for {var}")
             arr = np.asarray(arr)
             if sanitize_threshold is not None:
-                # The public store carries bit-corrupted scalars in CO2/CH4
-                # (|x| up to 1e304; physically these channels are O(1e-12..1e4)).
-                # The reference's pervasive nan-stats (da.nanmean/nanstd,
-                # main_baseline.py:211-214) imply such points were NaN in the
-                # original data — restore that: garbage -> NaN, skipped by
-                # stats, zero-filled after normalization (experiment.py).
                 bad = np.abs(arr) > sanitize_threshold
                 if bad.any():
                     arr = np.where(bad, np.nan, arr)

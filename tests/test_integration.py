@@ -1,0 +1,83 @@
+"""End-to-end integration: config -> Experiment -> fit -> validate -> test ->
+checkpoint + submission, on the 8-device CPU mesh with real reference data.
+
+Compile-heavy (~2-4 min cold, fast with the persistent jax cache); this is
+the pytest form of the verify skill's CLI drive.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_data
+
+
+@requires_data
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def run(self, tmp_path_factory):
+        from climate_tpu.config.loader import compose
+        from climate_tpu.train.experiment import Experiment
+
+        out = str(tmp_path_factory.mktemp("e2e"))
+        cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+        cfg = compose(
+            cfg_dir,
+            overrides=[
+                "data=default",
+                "model=SimpleCNN",
+                "model.init_dim=8",
+                "model.depth=2",
+                "trainer.accelerator=cpu",
+                "trainer.max_epochs=1",
+                "data.train_ssps=[ssp370]",
+                f"output_dir={out}",
+            ],
+        )
+        exp = Experiment(cfg)
+        val_metrics = exp.fit()
+        test_metrics = exp.test()
+        return exp, val_metrics, test_metrics
+
+    def test_val_metrics_stream(self, run):
+        _, val, _ = run
+        for key in (
+            "val/loss",
+            "val/kaggle_score",
+            "val/tas/avg/monthly_rmse",
+            "val/pr/time_mean_rmse",
+            "val/tas/time_stddev_mae",
+        ):
+            assert key in val and np.isfinite(val[key]), key
+        # one epoch on the easiest split must beat the zero-predictor
+        assert val["val/loss"] < 1.0
+
+    def test_checkpoints_written(self, run):
+        exp, _, _ = run
+        ckpt_dir = os.path.join(exp.run_dir, "checkpoints")
+        assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+        assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+        import json
+
+        meta = json.load(open(os.path.join(ckpt_dir, "best.climate_meta.json")))
+        assert "output_stats" in meta  # normalizer stats ride along
+
+    def test_submission_csv(self, run):
+        exp, _, test_metrics = run
+        path = test_metrics["submission_path"]
+        assert os.path.exists(path)
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        assert len(df) == 360 * 2 * 48 * 72
+        assert df.ID.iloc[0].startswith("t000_tas_")
+        assert df.Prediction.notna().all()
+
+    def test_metrics_csv_stream(self, run):
+        exp, _, _ = run
+        csv = os.path.join(exp.run_dir, "metrics.csv")
+        assert os.path.exists(csv)
+        with open(csv) as f:
+            header = f.readline()
+        assert "train/loss" in header
