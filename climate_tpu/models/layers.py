@@ -12,7 +12,6 @@ reference exactly per block (verified in tests/test_models.py).
 
 from __future__ import annotations
 
-from typing import Callable
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,7 +12,6 @@ Set CLIMATE_TPU_ATTN=xla|pallas to force a path.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

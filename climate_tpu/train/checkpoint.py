@@ -13,8 +13,6 @@ import json
 import os
 from typing import Any
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from ..transforms.normalize import StatsMap

@@ -28,7 +28,7 @@ from ..utils.logging import MetricsLogger, get_logger
 from ..utils.timer import StepTimer, profile_trace
 from .checkpoint import CheckpointManager, restore_from_path
 from .state import build_optimizer, create_train_state
-from .trainer import StepFunctions, masked_mse, pad_batch, predict_dataset
+from .trainer import StepFunctions, pad_batch, predict_dataset
 
 log = get_logger(__name__)
 

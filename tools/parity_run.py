@@ -171,6 +171,7 @@ def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path:
         overrides.append(f"data.seq_len={seq_len}")
     for k, v in model_kw.items():
         overrides.append(f"model.{k}={v}")
+    overrides += [ov for ov in os.environ.get("PARITY_EXTRA_OVERRIDES", "").split() if ov]
     cfg = compose(cfg_dir, overrides=overrides)
     exp = Experiment(cfg)
 
@@ -199,10 +200,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--seq-len", type=int, default=6)
     ap.add_argument("--model-kw", type=json.loads, default={})
+    ap.add_argument("--tag", default="", help="suffix for the output file name")
     args = ap.parse_args()
 
     os.makedirs(PARITY_DIR, exist_ok=True)
-    out = os.path.join(PARITY_DIR, f"{args.stack}_{args.model}_{args.pipeline}_e{args.epochs}.json")
+    tag = f"_{args.tag}" if args.tag else ""
+    out = os.path.join(PARITY_DIR, f"{args.stack}_{args.model}_{args.pipeline}{tag}_e{args.epochs}.json")
     if args.stack == "torch":
         run_torch(args.model, args.pipeline, args.epochs, args.seq_len, out, args.model_kw)
     else:
