@@ -228,18 +228,20 @@ class Experiment:
                     mask_mat = jnp.asarray(np.stack([p[1] for p in padded]))
                     rng = jax.random.fold_in(drop_rng, epoch)
                     self.timer.start()
-                    self.state, loss_seq = self.step_fns.train_epoch(
+                    self.state, (loss_seq, gnorm_seq) = self.step_fns.train_epoch(
                         self.state, self.train_ds.inputs, self.train_ds.outputs,
                         idx_mat, mask_mat, rng,
                     )
                     jax.block_until_ready(self.state.params)
                     self.timer.stop(int(sum(len(b) for b in batches)))
                     loss_host = np.asarray(loss_seq)
+                    gnorm_host = np.asarray(gnorm_seq)
                     losses = list(loss_host[::log_every])
                     base_step = int(self.state.step) - len(batches)
                     for bi in range(0, len(batches), log_every):
                         self.metrics_logger.log(
-                            {"train/loss": float(loss_host[bi])}, step=base_step + bi + 1
+                            {"train/loss": float(loss_host[bi]), "train/grad_norm": float(gnorm_host[bi])},
+                            step=base_step + bi + 1,
                         )
                 else:
                     losses = []

@@ -82,15 +82,19 @@ class StepFunctions:
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, x, y, mask, rng
             )
+            # gradient observability (the reference's wandb.watch gradient
+            # stream, utils_baseline.py:122 — here a cheap on-device norm)
+            gnorm = optax.global_norm(grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
             )
-            return new_state, loss
+            return new_state, loss, gnorm
 
         def _train_step(state, x_all, y_all, idx, mask, rng):
-            return _step_body(state, x_all, y_all, idx, mask, rng)
+            new_state, loss, _ = _step_body(state, x_all, y_all, idx, mask, rng)
+            return new_state, loss
 
         def _train_epoch(state, x_all, y_all, idx_mat, mask_mat, rng0):
             """A whole epoch as one lax.scan: one host dispatch instead of
@@ -100,8 +104,8 @@ class StepFunctions:
             def body(carry, inp):
                 idx, mask = inp
                 rng = jax.random.fold_in(rng0, carry.step)
-                new_state, loss = _step_body(carry, x_all, y_all, idx, mask, rng)
-                return new_state, loss
+                new_state, loss, gnorm = _step_body(carry, x_all, y_all, idx, mask, rng)
+                return new_state, (loss, gnorm)
 
             return jax.lax.scan(body, state, (idx_mat, mask_mat))
 

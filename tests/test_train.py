@@ -222,9 +222,10 @@ class TestFusedEpoch:
         s2 = fresh_state()
         idx_mat = jnp.asarray(np.stack([p[0] for p in padded]))
         mask_mat = jnp.asarray(np.stack([p[1] for p in padded]))
-        s2, losses = fns.train_epoch(s2, data_x, data_y, idx_mat, mask_mat, rng)
+        s2, (losses, gnorms) = fns.train_epoch(s2, data_x, data_y, idx_mat, mask_mat, rng)
 
         np.testing.assert_allclose(np.asarray(losses), step_losses, rtol=1e-5, atol=1e-6)
+        assert np.all(np.asarray(gnorms) > 0)  # gradient-norm stream
         # scan vs separate executables: float reassociation only
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6)
