@@ -308,6 +308,16 @@ class Experiment:
         metrics = self._val_metrics(preds_norm, self.val_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
         self.metrics_logger.log(metrics, step=int(self.state.step))
+
+        # per-epoch val image panels (reference logs wandb images every val
+        # epoch, main_baseline.py:410-442) — cadence-gated, off by default
+        every = int(self.cfg.get("trainer", {}).get("save_plots_every_n_epochs", 0) or 0)
+        if every > 0 and epoch % every == 0:
+            from ..eval.plots import save_epoch_panels
+
+            preds = np.asarray(self._denorm_tchw(preds_norm.astype(jnp.float32)), dtype=np.float32)
+            trues = np.asarray(self._denorm_tchw(self.val_ds.outputs), dtype=np.float32)
+            save_epoch_panels(self.run_dir, f"val_epoch{epoch}", preds, trues, self.output_vars, metrics)
         return metrics
 
     # ------------------------------------------------------------------

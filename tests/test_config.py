@@ -65,3 +65,11 @@ class TestCompose:
 
         cfg = compose(CONFIG_DIR)
         assert yaml.safe_load(to_yaml(cfg)) == cfg
+
+
+class TestCLIErrors:
+    def test_rollout_requires_ckpt(self):
+        from climate_tpu.cli.rollout import main as rollout_main
+
+        with pytest.raises(SystemExit, match="ckpt_path"):
+            rollout_main(["trainer.accelerator=cpu"])
