@@ -65,12 +65,12 @@ def measure_jax() -> float:
 
     for _ in range(WARMUP):
         state, loss = one_step(state)
-    jax.block_until_ready(state.params)
+    _ = float(loss)  # host-visible sync (axon block_until_ready is unreliable)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, loss = one_step(state)
-    jax.block_until_ready(state.params)
+    _ = float(loss)  # forces completion of the full dependency chain
     dt = time.perf_counter() - t0
     return batch * STEPS / dt
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .convlstm import ConvLSTM
-from .layers import ConvBlock, Down, Up
+from .layers import Conv, ConvBlock, Down, Up
 
 
 class AttUNetConvLSTM(nn.Module):
@@ -57,4 +57,4 @@ class AttUNetConvLSTM(nn.Module):
         d3 = Up(c * 4, dtype=self.dtype)(bottleneck, tmean(s3))
         d2 = Up(c * 2, dtype=self.dtype)(d3, tmean(s2))
         d1 = Up(c, dtype=self.dtype)(d2, tmean(s1))
-        return nn.Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(d1)
+        return Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(d1)

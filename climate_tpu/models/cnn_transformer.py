@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import TransformerEncoderLayer
+from .layers import Conv, ConvTranspose, TransformerEncoderLayer
 
 
 class CNNTransformer(nn.Module):
@@ -28,9 +28,9 @@ class CNNTransformer(nn.Module):
     def __call__(self, x, train: bool = False):
         # x: (B, H, W, C_in) with H=48, W=72
         b, h0, w0, _ = x.shape
-        x = nn.Conv(self.embed_dim // 2, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype)(x)
+        x = Conv(self.embed_dim // 2, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype)(x)
+        x = Conv(self.embed_dim, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)  # (B, H/4, W/4, D)
 
         bh, bw = x.shape[1], x.shape[2]
@@ -48,8 +48,8 @@ class CNNTransformer(nn.Module):
             )(tokens, deterministic=not train)
 
         x = tokens.reshape(b, bh, bw, self.embed_dim)
-        x = nn.ConvTranspose(self.embed_dim // 2, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
+        x = ConvTranspose(self.embed_dim // 2, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
+        x = ConvTranspose(self.embed_dim // 4, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(x)
+        return Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(x)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.convlstm_cell import convlstm_gates
+from .layers import Conv
 
 
 class ConvLSTMCell(nn.Module):
@@ -27,7 +28,7 @@ class ConvLSTMCell(nn.Module):
         # carry: (h, c) each (B, H, W, c_hid); x: (B, H, W, c_in)
         h, c = carry
         k = self.kernel_size
-        gates = nn.Conv(4 * self.c_hid, (k, k), padding=k // 2, dtype=self.dtype)(
+        gates = Conv(4 * self.c_hid, (k, k), padding=k // 2, dtype=self.dtype)(
             jnp.concatenate([x, h], axis=-1)
         )
         h_next, c_next = convlstm_gates(gates, c)

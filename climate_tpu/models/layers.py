@@ -13,10 +13,22 @@ reference exactly per block (verified in tests/test_models.py).
 from __future__ import annotations
 
 
+import functools
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+
+# torch-default initialization for parity of training dynamics with the
+# reference: torch Conv2d/Linear use kaiming_uniform(a=sqrt(5)), i.e.
+# U(-1/sqrt(fan_in), +1/sqrt(fan_in)) = variance_scaling(1/3, fan_in, uniform).
+# (torch also draws biases from the same bound; we keep flax's zero biases —
+# a negligible, documented divergence.)
+TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+Conv = functools.partial(nn.Conv, kernel_init=TORCH_KERNEL_INIT)
+ConvTranspose = functools.partial(nn.ConvTranspose, kernel_init=TORCH_KERNEL_INIT)
+Dense = functools.partial(nn.Dense, kernel_init=TORCH_KERNEL_INIT)
 
 
 class SEBlock(nn.Module):
@@ -30,9 +42,9 @@ class SEBlock(nn.Module):
     def __call__(self, x):
         # x: (B, H, W, C)
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.features // self.ratio, (1, 1), use_bias=False, dtype=self.dtype)(s)
+        s = Conv(self.features // self.ratio, (1, 1), use_bias=False, dtype=self.dtype)(s)
         s = nn.relu(s)
-        s = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(s)
+        s = Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(s)
         return x * nn.sigmoid(s)
 
 
@@ -46,7 +58,7 @@ class SpatialGate(nn.Module):
     def __call__(self, x):
         avg = jnp.mean(x, axis=-1, keepdims=True)
         mxx = jnp.max(x, axis=-1, keepdims=True)
-        gate = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype)(
+        gate = Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype)(
             jnp.concatenate([avg, mxx], axis=-1)
         )
         return x * nn.sigmoid(gate)
@@ -62,7 +74,7 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(x)
+            x = Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(x)
             x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.silu(x)
         x = SEBlock(self.features, dtype=self.dtype)(x)
@@ -90,7 +102,7 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
+        x = ConvTranspose(self.features, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
         x = jnp.concatenate([x, skip], axis=-1)
         return ConvBlock(self.features, dtype=self.dtype)(x)
 
@@ -114,13 +126,13 @@ class ResidualBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )
         identity = x
-        y = nn.Conv(self.features, (k, k), padding=k // 2, dtype=self.dtype)(x)
+        y = Conv(self.features, (k, k), padding=k // 2, dtype=self.dtype)(x)
         y = norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (k, k), padding=k // 2, dtype=self.dtype)(y)
+        y = Conv(self.features, (k, k), padding=k // 2, dtype=self.dtype)(y)
         y = norm()(y)
         if x.shape[-1] != self.features:
-            identity = nn.Conv(self.features, (1, 1), dtype=self.dtype)(identity)
+            identity = Conv(self.features, (1, 1), dtype=self.dtype)(identity)
             identity = norm()(identity)
         return nn.relu(y + identity)
 
@@ -140,7 +152,7 @@ class MultiHeadSelfAttention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         b, n, d = x.shape
         h = self.num_heads
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
+        qkv = nn.Dense(3 * d, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, n, h, d // h)
         k = k.reshape(b, n, h, d // h)
@@ -152,7 +164,7 @@ class MultiHeadSelfAttention(nn.Module):
             # an intentional, documented divergence (regularization-equivalent).
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         attn = attn.reshape(b, n, d)
-        return nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
+        return Dense(d, dtype=self.dtype, name="out_proj")(attn)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -173,9 +185,9 @@ class TransformerEncoderLayer(nn.Module):
         a = nn.Dropout(self.dropout, deterministic=deterministic)(a)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + a)
 
-        f = nn.Dense(self.mlp_dim, dtype=self.dtype)(x)
+        f = Dense(self.mlp_dim, dtype=self.dtype)(x)
         f = nn.relu(f)
         f = nn.Dropout(self.dropout, deterministic=deterministic)(f)
-        f = nn.Dense(self.d_model, dtype=self.dtype)(f)
+        f = Dense(self.d_model, dtype=self.dtype)(f)
         f = nn.Dropout(self.dropout, deterministic=deterministic)(f)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + f)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ResidualBlock
+from .layers import Conv, ResidualBlock
 
 
 class SimpleCNN(nn.Module):
@@ -28,7 +28,7 @@ class SimpleCNN(nn.Module):
     def __call__(self, x, train: bool = False):
         # x: (B, H, W, C_in)
         k = self.kernel_size
-        x = nn.Conv(self.init_dim, (k, k), padding=k // 2, dtype=self.dtype)(x)
+        x = Conv(self.init_dim, (k, k), padding=k // 2, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
 
@@ -42,7 +42,7 @@ class SimpleCNN(nn.Module):
         # Dropout2d: drop whole channels per sample (broadcast over H, W)
         x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2), deterministic=not train)(x)
 
-        x = nn.Conv(dim // 2, (k, k), padding=k // 2, dtype=self.dtype)(x)
+        x = Conv(dim // 2, (k, k), padding=k // 2, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(x)
+        return Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(x)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBlock, Down, Up
+from .layers import Conv, ConvBlock, Down, Up
 
 
 class UNet(nn.Module):
@@ -33,4 +33,4 @@ class UNet(nn.Module):
         y = Up(c * 4, dtype=self.dtype)(y, s3)
         y = Up(c * 2, dtype=self.dtype)(y, s2)
         y = Up(c, dtype=self.dtype)(y, s1)
-        return nn.Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(y)
+        return Conv(self.n_output_channels, (1, 1), dtype=self.dtype)(y)

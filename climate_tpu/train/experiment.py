@@ -42,6 +42,20 @@ class Experiment:
 
         # --- mesh (accelerator fallback mirrors utils_baseline.py:131-137) ---
         want = trainer_cfg.get("accelerator", "tpu")
+
+        # Persistent compilation cache: repeat runs (parity sweeps, resume,
+        # rollout) skip the multi-minute XLA recompiles. TPU only — XLA:CPU
+        # AOT cache entries fail to reload on this host (machine-feature
+        # mismatch errors observed 2026-08-16).
+        cache_dir = os.environ.get(
+            "CLIMATE_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/climate_tpu/xla")
+        )
+        if cache_dir and cache_dir != "0" and jax.devices()[0].platform == "tpu":
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
         platform = jax.devices()[0].platform
         if want == "tpu" and platform != "tpu":
             log.warning(f"TPU requested but default platform is {platform}; continuing on {platform}.")
@@ -232,10 +246,11 @@ class Experiment:
                         self.state, self.train_ds.inputs, self.train_ds.outputs,
                         idx_mat, mask_mat, rng,
                     )
-                    jax.block_until_ready(self.state.params)
-                    self.timer.stop(int(sum(len(b) for b in batches)))
+                    # host pull = reliable sync (axon's block_until_ready can
+                    # ack before completion, inflating throughput numbers)
                     loss_host = np.asarray(loss_seq)
                     gnorm_host = np.asarray(gnorm_seq)
+                    self.timer.stop(int(sum(len(b) for b in batches)))
                     losses = list(loss_host[::log_every])
                     base_step = int(self.state.step) - len(batches)
                     for bi in range(0, len(batches), log_every):

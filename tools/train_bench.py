@@ -43,8 +43,8 @@ def main():
     host = np.random.default_rng(0)
 
     def batches():
-        perm = host.permutation(8109)[: n_steps * BATCH]
-        return perm.reshape(n_steps, BATCH)
+        idx = host.integers(0, 8109, size=n_steps * BATCH)
+        return idx.reshape(n_steps, BATCH)
 
     # --- per-step dispatch ---
     state = replicate(mesh, create_train_state(model, rng, example, tx))
@@ -52,12 +52,12 @@ def main():
     for i in range(3):  # warmup/compile
         idx, mask = pad_batch(idxs[i % n_steps], BATCH)
         state, loss = fns.train_step(state, data_x, data_y, jnp.asarray(idx), jnp.asarray(mask), rng)
-    jax.block_until_ready(state.params)
+    _ = float(loss)  # host-visible sync (axon block_until_ready is unreliable)
     t0 = time.perf_counter()
     for i in range(n_steps):
         idx, mask = pad_batch(idxs[i], BATCH)
         state, loss = fns.train_step(state, data_x, data_y, jnp.asarray(idx), jnp.asarray(mask), rng)
-    jax.block_until_ready(state.params)
+    _ = float(loss)  # forces completion of the full dependency chain
     per_step = time.perf_counter() - t0
     print(f"per-step: {n_steps} steps in {per_step:.3f}s -> {n_steps * BATCH / per_step:.0f} samples/s")
 
@@ -65,11 +65,11 @@ def main():
     state = replicate(mesh, create_train_state(model, rng, example, tx))
     idx_mat = jnp.asarray(batches().astype(np.int32))
     mask_mat = jnp.ones((n_steps, BATCH), jnp.float32)
-    state, losses = fns.train_epoch(state, data_x, data_y, idx_mat, mask_mat, rng)  # compile
-    jax.block_until_ready(state.params)
+    state, (losses, gnorms) = fns.train_epoch(state, data_x, data_y, idx_mat, mask_mat, rng)  # compile
+    _ = float(losses[-1])
     t0 = time.perf_counter()
-    state, losses = fns.train_epoch(state, data_x, data_y, idx_mat, mask_mat, rng)
-    jax.block_until_ready(state.params)
+    state, (losses, gnorms) = fns.train_epoch(state, data_x, data_y, idx_mat, mask_mat, rng)
+    _ = float(losses[-1])  # host-visible sync
     fused = time.perf_counter() - t0
     print(f"fused:    {n_steps} steps in {fused:.3f}s -> {n_steps * BATCH / fused:.0f} samples/s")
     print(f"fused speedup over per-step: {per_step / fused:.2f}x")
