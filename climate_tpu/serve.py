@@ -1,0 +1,117 @@
+"""Serving API: load a checkpoint once, predict from forcings on demand.
+
+The reference has no inference API at all — predictions only fall out of a
+Lightning test loop (SURVEY.md 3.5). This module is the production-serving
+surface: a `Predictor` owns the restored variables + normalizer stats and
+exposes physical-unit predictions for arbitrary forcing windows, jit-compiled
+per input shape and reusable across calls.
+
+    from climate_tpu.serve import Predictor
+    p = Predictor.from_checkpoint("outputs/.../checkpoints/best",
+                                  model_type="unet_convlstm_attention")
+    tas_pr = p.predict(forcings_nhwc)          # (B, T, H, W, C_in) -> (B, H, W, 2)
+    series = p.rollout(scenario_forcings)      # (T, H, W, C_in) -> (T, H, W, 2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .models import get_model
+from .train.checkpoint import META_FILE
+from .transforms import normalize as tf
+
+
+class Predictor:
+    def __init__(self, model, variables, input_stats: tf.StatsMap, output_stats: tf.StatsMap,
+                 seq_len: int | None = None):
+        self.model = model
+        self.variables = variables
+        self.input_stats = input_stats
+        self.output_stats = output_stats
+        self.seq_len = seq_len
+        self._forward = jax.jit(lambda v, x: model.apply(v, x))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_path: str,
+        model_type: str = "unet_convlstm_attention",
+        model_kwargs: dict | None = None,
+        input_vars: list[str] | None = None,
+        output_vars: list[str] | None = None,
+        seasonal_embeddings: bool = True,
+        seq_len: int | None = 6,
+    ) -> "Predictor":
+        """Restore weights + normalizer stats (saved in the checkpoint meta —
+        no dataset access needed, unlike the reference which must recompute
+        stats from data on every restore)."""
+        import orbax.checkpoint as ocp
+
+        meta_path = ckpt_path.rstrip("/") + "." + META_FILE
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"checkpoint meta not found: {meta_path}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        input_stats = {int(k): v for k, v in meta["input_stats"].items()}
+        output_stats = {int(k): v for k, v in meta["output_stats"].items()}
+
+        input_vars = input_vars or ["CO2", "SO2", "CH4", "BC", "rsdt"]
+        output_vars = output_vars or ["tas", "pr"]
+        cfg = {
+            "model": {"type": model_type, **(model_kwargs or {})},
+            "data": {
+                "input_vars": input_vars,
+                "output_vars": output_vars,
+                "seasonal_embeddings": seasonal_embeddings,
+            },
+            "training": {},
+        }
+        model = get_model(cfg)
+        n_in = len(input_vars) + (2 if seasonal_embeddings else 0)
+
+        from .models import is_sequence_model
+
+        seq = seq_len if is_sequence_model(cfg) else None
+        if seq is not None:
+            example = jnp.zeros((1, seq, 48, 72, n_in), jnp.float32)
+        else:
+            example = jnp.zeros((1, 48, 72, n_in), jnp.float32)
+        # checkpoints store the full TrainState; restore just the variables
+        from .train.state import build_optimizer, create_train_state
+
+        state_template = create_train_state(model, jax.random.PRNGKey(0), example, build_optimizer(1e-3))
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path), state_template)
+        return cls(model, restored.variables(), input_stats, output_stats, seq_len=seq)
+
+    # ------------------------------------------------------------------
+    def predict(self, forcings, normalized: bool = False):
+        """Forcings (B, [T,] H, W, C_in) physical units -> (B, H, W, C_out)
+        physical units."""
+        x = jnp.asarray(forcings, jnp.float32)
+        if not normalized:
+            x = jnp.nan_to_num(tf.normalize(x, self.input_stats, channel_axis=-1), nan=0.0)
+        pred_norm = self._forward(self.variables, x)
+        return tf.inverse_transform(pred_norm.astype(jnp.float32), self.output_stats, channel_axis=-1)
+
+    def rollout(self, scenario_forcings, normalized: bool = False, feedback: bool = False):
+        """Scenario forcings (T, H, W, C_in) -> (T, H, W, C_out), one scan."""
+        from .eval.rollout import rollout_jit
+
+        if self.seq_len is None:
+            raise ValueError("rollout requires a sequence model")
+        x = jnp.asarray(scenario_forcings, jnp.float32)
+        if not normalized:
+            x = jnp.nan_to_num(tf.normalize(x, self.input_stats, channel_axis=-1), nan=0.0)
+        run = rollout_jit(
+            lambda v, xx: self.model.apply(v, xx),
+            seq_len=self.seq_len,
+            feedback_channels=tuple(range(len(self.output_stats))) if feedback else (),
+        )
+        pred_norm = run(self.variables, x)
+        return tf.inverse_transform(pred_norm.astype(jnp.float32), self.output_stats, channel_axis=-1)

@@ -13,33 +13,38 @@ import pytest
 from tests.conftest import requires_data
 
 
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    from tests.conftest import has_reference_data
+
+    if not has_reference_data():
+        pytest.skip("reference zarr store not available")
+    from climate_tpu.config.loader import compose
+    from climate_tpu.train.experiment import Experiment
+
+    out = str(tmp_path_factory.mktemp("e2e"))
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = compose(
+        cfg_dir,
+        overrides=[
+            "data=default",
+            "model=SimpleCNN",
+            "model.init_dim=8",
+            "model.depth=2",
+            "trainer.accelerator=cpu",
+            "trainer.max_epochs=1",
+            "data.train_ssps=[ssp370]",
+            f"output_dir={out}",
+        ],
+    )
+    exp = Experiment(cfg)
+    val_metrics = exp.fit()
+    test_metrics = exp.test()
+    return exp, val_metrics, test_metrics
+
+
 @requires_data
 class TestEndToEnd:
-    @pytest.fixture(scope="class")
-    def run(self, tmp_path_factory):
-        from climate_tpu.config.loader import compose
-        from climate_tpu.train.experiment import Experiment
-
-        out = str(tmp_path_factory.mktemp("e2e"))
-        cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
-        cfg = compose(
-            cfg_dir,
-            overrides=[
-                "data=default",
-                "model=SimpleCNN",
-                "model.init_dim=8",
-                "model.depth=2",
-                "trainer.accelerator=cpu",
-                "trainer.max_epochs=1",
-                "data.train_ssps=[ssp370]",
-                f"output_dir={out}",
-            ],
-        )
-        exp = Experiment(cfg)
-        val_metrics = exp.fit()
-        test_metrics = exp.test()
-        return exp, val_metrics, test_metrics
-
     def test_val_metrics_stream(self, run):
         _, val, _ = run
         for key in (
@@ -81,3 +86,26 @@ class TestEndToEnd:
         with open(csv) as f:
             header = f.readline()
         assert "train/loss" in header
+
+
+@requires_data
+class TestServing:
+    def test_predictor_from_checkpoint(self, run, tmp_path):
+        """Serving API: restore a checkpoint, predict + compare to the
+        experiment's own test predictions."""
+        from climate_tpu.serve import Predictor
+
+        exp, _, _ = run
+        ckpt = os.path.join(exp.run_dir, "checkpoints", "best")
+        p = Predictor.from_checkpoint(
+            ckpt, model_type="SimpleCNN",
+            model_kwargs={"init_dim": 8, "depth": 2},
+            seasonal_embeddings=False, seq_len=None,
+        )
+        # physical-unit forcings for 4 frames of the test split
+        forc = np.moveaxis(exp.bundle.test.inputs[:4], 1, -1).astype(np.float32)
+        out = np.asarray(p.predict(forc))
+        assert out.shape == (4, 48, 72, 2)
+        assert np.isfinite(out).all()
+        # tas in a physical range
+        assert 150 < out[..., 0].mean() < 350
