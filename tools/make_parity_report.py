@@ -52,12 +52,24 @@ def main():
         "",
     ]
 
-    # group by (model, pipeline)
+    # group by (model, pipeline[+tag]); filenames are
+    # {stack}_{model}_{pipeline}[_{tag}]_e{N}.json
     groups: dict[tuple, dict] = {}
     for name, hist in runs.items():
         stack, rest = name.split("_", 1)
         base, _, _e = rest.rpartition("_e")
-        model, _, pipeline = base.rpartition("_")
+        model = pipeline = None
+        for p in ("baseline", "ensemble", "final"):
+            token = f"_{p}"
+            if base.endswith(token):
+                model, pipeline = base[: -len(token)], p
+                break
+            if f"{token}_" in base:
+                model, tag = base.split(token + "_", 1)
+                pipeline = f"{p} ({tag})"
+                break
+        if model is None:
+            model, _, pipeline = base.rpartition("_")
         groups.setdefault((model, pipeline), {})[stack] = hist
 
     for (model, pipeline), stacks in sorted(groups.items()):

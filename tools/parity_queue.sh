@@ -14,5 +14,5 @@ echo "JAX PARITY RUNS DONE"
 python tools/parity_run.py --stack torch --model cnn_transformer --pipeline baseline --epochs 12
 python tools/parity_run.py --stack torch --model unet --pipeline baseline --epochs 12
 python tools/parity_run.py --stack torch --model unet_convlstm_attention --pipeline final --epochs 4 --seq-len 6
-python tools/parity_run.py --stack torch --model SimpleCNN --pipeline baseline --epochs 2
+python tools/parity_run.py --stack torch --model SimpleCNN --pipeline baseline --epochs 1
 echo "PARITY QUEUE DONE"
