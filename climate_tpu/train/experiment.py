@@ -140,7 +140,15 @@ class Experiment:
         self.eval_batch_size = _round_bs(int(data_cfg.get("eval_batch_size") or self.batch_size))
 
         training = cfg.get("training", {})
-        self.tx = build_optimizer(float(training.get("lr", 5e-4)), float(training.get("weight_decay", 0.0)))
+        n_batches_per_epoch = -(-self.train_ds.n // self.batch_size)
+        total_steps = n_batches_per_epoch * int(trainer_cfg.get("max_epochs", 1))
+        self.tx = build_optimizer(
+            float(training.get("lr", 5e-4)),
+            float(training.get("weight_decay", 0.0)),
+            schedule=training.get("lr_schedule", "constant"),
+            total_steps=max(total_steps, 1),
+            warmup_steps=int(training.get("warmup_steps", 0)),
+        )
 
         rng = jax.random.PRNGKey(self.seed)
         example = self._example_batch()

@@ -29,12 +29,38 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
-def build_optimizer(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+def build_optimizer(
+    lr: float,
+    weight_decay: float = 0.0,
+    schedule: str = "constant",
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    """torch-Adam-equivalent chain with an optional LR schedule.
+
+    schedule: "constant" (reference parity — configs/training/default.yaml
+    fixed lr) | "cosine" (decay to 0 over total_steps, optional linear
+    warmup) — a beyond-parity option, off by default.
+    """
+    if schedule == "constant":
+        sched = lr
+    elif schedule == "cosine":
+        if not total_steps:
+            raise ValueError("cosine schedule requires total_steps")
+        if warmup_steps:
+            sched = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr, warmup_steps=warmup_steps, decay_steps=total_steps
+            )
+        else:
+            sched = optax.cosine_decay_schedule(init_value=lr, decay_steps=total_steps)
+    else:
+        raise ValueError(f"Unknown lr schedule: {schedule!r}")
+
     parts = []
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))  # torch Adam L2 semantics
     parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    parts.append(optax.scale(-lr))
+    parts.append(optax.scale_by_learning_rate(sched))  # handles the -1 sign
     return optax.chain(*parts)
 
 

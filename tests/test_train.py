@@ -230,3 +230,35 @@ class TestFusedEpoch:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6)
         assert int(s2.step) == 3
+
+
+class TestLrSchedule:
+    def test_cosine_schedule_decays(self):
+        import optax
+
+        tx = build_optimizer(1e-3, schedule="cosine", total_steps=10)
+        params = {"w": jnp.ones((2, 2))}
+        opt_state = tx.init(params)
+        g = {"w": jnp.ones((2, 2))}
+        norms = []
+        for _ in range(10):
+            updates, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            norms.append(float(jnp.abs(updates["w"]).mean()))
+        assert norms[-1] < norms[0] * 0.2  # decayed near zero
+
+    def test_constant_matches_plain_adam(self):
+        import optax
+
+        a = build_optimizer(1e-3)
+        b = build_optimizer(1e-3, schedule="constant")
+        params = {"w": jnp.ones((2, 2))}
+        sa, sb = a.init(params), b.init(params)
+        g = {"w": jnp.full((2, 2), 0.5)}
+        ua, _ = a.update(g, sa, params)
+        ub, _ = b.update(g, sb, params)
+        np.testing.assert_allclose(np.asarray(ua["w"]), np.asarray(ub["w"]), rtol=1e-7)
+
+    def test_unknown_schedule_raises(self):
+        with pytest.raises(ValueError, match="schedule"):
+            build_optimizer(1e-3, schedule="step")
