@@ -50,6 +50,13 @@ def main():
         "torch runs are epoch-bounded because full length is infeasible on the 1-core host.",
         "JAX runs = this framework on one TPU v5e chip. Lower is better everywhere.",
         "",
+        "Sections without a tag use the reference training recipe (Adam lr 5e-4 constant,",
+        "50 epochs, batch 64). Tagged sections are beyond-parity runs on this framework:",
+        "(cosine) = cosine lr decay over 150 epochs, (long) = 150 epochs constant lr,",
+        "(seq12) = extended window. Composite = the Kaggle score (0.5*tas + 0.5*pr).",
+        "Headline beyond-parity results: cnn_transformer ensemble 0.63 (vs 0.88 at the",
+        "reference recipe), flagship final-pipeline 0.75 (vs 0.96).",
+        "",
     ]
 
     # group by (model, pipeline[+tag]); filenames are
