@@ -262,3 +262,12 @@ class TestLrSchedule:
     def test_unknown_schedule_raises(self):
         with pytest.raises(ValueError, match="schedule"):
             build_optimizer(1e-3, schedule="step")
+
+
+class TestMultihost:
+    def test_single_host_noop(self, monkeypatch):
+        from climate_tpu.parallel.multihost import initialize_multihost
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize_multihost() is False  # single host: no-op
