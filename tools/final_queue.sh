@@ -3,6 +3,4 @@ cd "$(dirname "$0")/.."
 set -x
 PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine" \
 python tools/parity_run.py --stack jax --model SimpleCNN --pipeline baseline --epochs 150 --tag cosine
-PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine" \
-python tools/parity_run.py --stack jax --model cnn_transformer --pipeline ensemble --epochs 300 --tag cosine300
 echo "FINAL QUEUE DONE"
