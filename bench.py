@@ -45,7 +45,7 @@ def measure_jax() -> float:
     example = jnp.zeros((batch, SEQ_LEN, 48, 72, 7), jnp.float32)
     state = replicate(mesh, create_train_state(model, rng, example, tx))
     fns = StepFunctions.build(
-        model, tx, mesh, seq_len=SEQ_LEN, output_stats={},
+        model, tx, mesh, seq_len=SEQ_LEN,
         has_batch_stats=False, use_dropout=False,
     )
 

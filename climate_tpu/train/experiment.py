@@ -158,7 +158,7 @@ class Experiment:
         use_dropout = cfg["model"]["type"] in ("SimpleCNN", "cnn_transformer")
         self.step_fns = StepFunctions.build(
             self.model, self.tx, self.mesh,
-            seq_len=self.seq_len, output_stats=self.output_stats,
+            seq_len=self.seq_len,
             has_batch_stats=has_bs, use_dropout=use_dropout,
         )
 

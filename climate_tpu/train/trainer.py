@@ -29,7 +29,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.dataset import gather_frames, gather_windows
 from ..parallel.mesh import DATA_AXIS
-from ..transforms import normalize as tf
 
 
 def masked_mse(pred, target, mask):
@@ -51,7 +50,7 @@ class StepFunctions:
 
     @staticmethod
     def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
-              output_stats: tf.StatsMap, has_batch_stats: bool, use_dropout: bool):
+              has_batch_stats: bool, use_dropout: bool):
         """seq_len=None -> single-frame models; else sliding-window gather."""
 
         def gather(x_all, idx):

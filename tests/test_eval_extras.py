@@ -85,7 +85,7 @@ class TestBf16Policy:
             # params stay fp32 regardless of compute dtype
             assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
             fns = StepFunctions.build(
-                m, tx, mesh, seq_len=None, output_stats={}, has_batch_stats=False, use_dropout=False
+                m, tx, mesh, seq_len=None, has_batch_stats=False, use_dropout=False
             )
             idx, mask = pad_batch(np.arange(8), 8)
             state, loss = fns.train_step(

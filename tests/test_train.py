@@ -35,7 +35,7 @@ def tiny_setup(mesh8):
     state = create_train_state(model, rng, x, tx)
     state = replicate(mesh8, state)
     fns = StepFunctions.build(
-        model, tx, mesh8, seq_len=None, output_stats={}, has_batch_stats=False, use_dropout=False
+        model, tx, mesh8, seq_len=None, has_batch_stats=False, use_dropout=False
     )
     data_x = jax.random.normal(jax.random.PRNGKey(1), (40, 48, 72, 5))
     data_y = jax.random.normal(jax.random.PRNGKey(2), (40, 48, 72, 2))
@@ -125,7 +125,7 @@ class TestSequenceTrainStep:
         x_ex = jnp.zeros((8, 3, 48, 72, 5))
         state = replicate(mesh8, create_train_state(model, rng, x_ex, tx))
         fns = StepFunctions.build(
-            model, tx, mesh8, seq_len=3, output_stats={}, has_batch_stats=False, use_dropout=False
+            model, tx, mesh8, seq_len=3, has_batch_stats=False, use_dropout=False
         )
         data_x = jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 5))
         data_y = jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2))
@@ -203,7 +203,7 @@ class TestFusedEpoch:
             return replicate(mesh8, create_train_state(model, rng, x_ex, tx))
 
         fns = StepFunctions.build(
-            model, tx, mesh8, seq_len=None, output_stats={}, has_batch_stats=False, use_dropout=False
+            model, tx, mesh8, seq_len=None, has_batch_stats=False, use_dropout=False
         )
         data_x = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(1), (24, 48, 72, 5)))
         data_y = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(2), (24, 48, 72, 2)))

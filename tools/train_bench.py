@@ -36,7 +36,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((BATCH, SEQ, 48, 72, 7), jnp.float32)
 
-    fns = StepFunctions.build(model, tx, mesh, seq_len=SEQ, output_stats={},
+    fns = StepFunctions.build(model, tx, mesh, seq_len=SEQ,
                               has_batch_stats=False, use_dropout=False)
     data_x = replicate(mesh, jax.random.normal(jax.random.PRNGKey(1), (8109, 48, 72, 7)))
     data_y = replicate(mesh, jax.random.normal(jax.random.PRNGKey(2), (8109, 48, 72, 2)))
