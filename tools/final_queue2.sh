@@ -8,3 +8,6 @@ python -m climate_tpu.cli.main data=data_final model=unet_convlstm_attention \
   trainer.max_epochs=2 data.seq_len=6 trainer.profile=true \
   output_dir=/root/repo/runs/profile_demo
 echo "FINAL QUEUE2 DONE"
+PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine" \
+python tools/parity_run.py --stack jax --model unet_convlstm_attention --pipeline final --epochs 300 --seq-len 6 --tag cosine300
+echo "FLAGSHIP300 DONE"
