@@ -54,8 +54,8 @@ def main():
         "50 epochs, batch 64). Tagged sections are beyond-parity runs on this framework:",
         "(cosine) = cosine lr decay over 150 epochs, (long) = 150 epochs constant lr,",
         "(seq12) = extended window. Composite = the Kaggle score (0.5*tas + 0.5*pr).",
-        "Headline beyond-parity results: cnn_transformer ensemble 0.63 (vs 0.88 at the",
-        "reference recipe), flagship final-pipeline 0.75 (vs 0.96).",
+        "Headline beyond-parity results: cnn_transformer ensemble 0.60 (vs 0.88 at the",
+        "reference recipe), flagship final-pipeline 0.70 (vs 0.96).",
         "",
     ]
 
