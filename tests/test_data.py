@@ -1,5 +1,7 @@
 """Zarr reader + ETL parity tests against reproducible reference facts."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -153,3 +155,22 @@ class TestETL:
         )
         _, m2_out = load_ssp_arrays(zarr_group, "ssp370", INPUT_VARS, OUTPUT_VARS, [2])
         np.testing.assert_array_equal(b.val.outputs, m2_out)
+
+
+@requires_data
+class TestNonConsolidatedStore:
+    def test_directory_walk_fallback(self, zarr_group, tmp_path):
+        """Stores without .zmetadata are read by walking array directories."""
+        import shutil
+
+        from climate_tpu.data import open_zarr
+
+        store = tmp_path / "mini.zarr"
+        store.mkdir()
+        shutil.copytree(os.path.join(zarr_group.path, "y"), store / "y")
+        shutil.copytree(os.path.join(zarr_group.path, "time"), store / "time")
+
+        g = open_zarr(str(store))
+        assert g.array_names == ["time", "y"]
+        np.testing.assert_array_equal(g.read("y"), zarr_group.read("y"))
+        assert g.meta("time").dims == ("time",)
