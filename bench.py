@@ -46,7 +46,7 @@ def measure_jax() -> float:
     state = replicate(mesh, create_train_state(model, rng, example, tx))
     fns = StepFunctions.build(
         model, tx, mesh, seq_len=SEQ_LEN,
-        has_batch_stats=False, use_dropout=False,
+        has_batch_stats=False,
     )
 
     # device-resident synthetic dataset sized like the real final split

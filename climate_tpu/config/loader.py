@@ -39,21 +39,22 @@ def _package_target(path: str, text: str) -> list[str]:
     return pkg.split(".")
 
 
-_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+# Only the scalar shapes PyYAML 1.1 *mis*-parses as strings: an exponent with
+# no decimal point ('5e-4', '1E6'). Plain ints/floats are already parsed by
+# yaml.safe_load, so any other numeric-looking string (e.g. a quoted
+# run_name: "2024") was quoted deliberately and must stay a string.
+_YAML11_EXP_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
 
 
 def _fix_numbers(node: Any) -> Any:
     """PyYAML (YAML 1.1) leaves '5e-4' as a string; OmegaConf — whose config
-    surface we mirror — parses it as a float. Coerce numeric-looking strings."""
+    surface we mirror — parses it as a float. Coerce exactly that case."""
     if isinstance(node, dict):
         return {k: _fix_numbers(v) for k, v in node.items()}
     if isinstance(node, list):
         return [_fix_numbers(v) for v in node]
-    if isinstance(node, str) and _NUMERIC_RE.match(node):
-        try:
-            return int(node)
-        except ValueError:
-            return float(node)
+    if isinstance(node, str) and _YAML11_EXP_RE.match(node):
+        return float(node)
     return node
 
 

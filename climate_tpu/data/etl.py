@@ -117,6 +117,7 @@ def load_ssp_arrays(
     add_seasonal: bool = False,
     mask_tas_below: float | None = None,
     sanitize_threshold: float | None = 1e10,
+    feedback_vars: list[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inputs & outputs for all requested members, concatenated on time.
 
@@ -124,6 +125,14 @@ def load_ssp_arrays(
     input channels (globals broadcast to the spatial grid) then concat the
     members along time, keeping chronology per member. Single-member call
     reproduces the baseline variant (main_baseline.py:75-129).
+
+    feedback_vars: output variables appended as teacher-forced `prev_<var>`
+    input channels — the previous month's TRUE output, clamped at the series
+    start (prev[0] = out[0]; a physical value, not an unphysical zero). The
+    shift happens per (ssp, member) BEFORE any time-axis concatenation, so
+    prev channels never cross member or SSP boundaries (unlike the sliding
+    windows, whose reference-quirk boundary crossing is reproduced —
+    SURVEY.md 2.6.4). Enables true autoregression at rollout (eval/rollout.py).
     """
     ssp_idx = _coord_index(group, "ssp", ssp)
     months = month_index(group) if add_seasonal else None
@@ -168,7 +177,6 @@ def load_ssp_arrays(
             cos_m = np.cos(2 * np.pi * months / 12.0)
             chans.append(np.broadcast_to(sin_m[:, None, None], (len(months), ny, nx)))
             chans.append(np.broadcast_to(cos_m[:, None, None], (len(months), ny, nx)))
-        input_members.append(np.stack(chans, axis=1))
 
         out_chans = []
         for var in output_vars:
@@ -186,6 +194,14 @@ def load_ssp_arrays(
                 arr = np.where(arr >= mask_tas_below, arr, np.nan)
             out_chans.append(arr)
         output_members.append(np.stack(out_chans, axis=1))
+
+        for var in feedback_vars or []:
+            if var not in output_vars:
+                raise ValueError(f"feedback var {var!r} is not an output var {output_vars}")
+            out = out_chans[output_vars.index(var)]
+            # previous month's true output, start clamped: prev[0] = out[0]
+            chans.append(np.concatenate([out[:1], out[:-1]], axis=0))
+        input_members.append(np.stack(chans, axis=1))
 
     return (
         np.concatenate(input_members, axis=0),
@@ -209,6 +225,7 @@ def prepare_databundle(
     sanitize_threshold: float | None = 1e10,
     val_ssp: str = "ssp370",
     val_months: int | None = None,
+    feedback_vars: list[str] | None = None,
 ) -> DataBundle:
     """Load, stack and split — one path replacing the 3 reference mains."""
     if pipeline == "baseline":
@@ -224,7 +241,7 @@ def prepare_databundle(
         return load_ssp_arrays(
             group, ssp, input_vars, output_vars, mems,
             add_seasonal=seasonal_embeddings, mask_tas_below=mask_tas_below,
-            sanitize_threshold=sanitize_threshold,
+            sanitize_threshold=sanitize_threshold, feedback_vars=feedback_vars,
         )
 
     train_in, train_out = [], []
@@ -256,7 +273,11 @@ def prepare_databundle(
     t_in, t_out = load(test_ssp, test_members)
     test = SplitArrays(t_in[-test_months:], t_out[-test_months:])
 
-    in_names = list(input_vars) + (list(SEASONAL_VARS) if seasonal_embeddings else [])
+    in_names = (
+        list(input_vars)
+        + (list(SEASONAL_VARS) if seasonal_embeddings else [])
+        + [f"prev_{v}" for v in (feedback_vars or [])]
+    )
     return DataBundle(
         train=train,
         val=val,

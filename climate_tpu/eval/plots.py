@@ -58,20 +58,19 @@ def comparison_figure(
     return fig
 
 
-def save_epoch_panels(
-    run_dir: str,
+def reference_panel_figures(
     phase: str,
     preds_tchw: np.ndarray,
     trues_tchw: np.ndarray,
     output_vars: list[str],
     metrics: dict,
     sample_timesteps: tuple[int, ...] = (0, 12, 24, 36, 48, 60, 72, 84, 96, 108),
-) -> list[str]:
-    """The reference's panel set (main_baseline.py:410-442): per variable a
-    time-mean map, a time-stddev map, and fixed sample timesteps."""
-    out_dir = os.path.join(run_dir, "plots", phase)
-    os.makedirs(out_dir, exist_ok=True)
-    paths = []
+):
+    """Yield (wandb_name, file_stub, figure) with the reference's EXACT image
+    names — `img/{var}/time_mean`, `img/{var}/time_Stddev` (capital S quirk
+    preserved, main_final.py:657) and `img/{phase}/{var}/month_idx_{t}`
+    (main_baseline.py:410-442) — so the image stream is name-for-name
+    diffable. Caller is responsible for plt.close()."""
     n_t = preds_tchw.shape[0]
     for i, var in enumerate(output_vars):
         p, t = preds_tchw[:, i], trues_tchw[:, i]
@@ -80,28 +79,49 @@ def save_epoch_panels(
             t.mean(0), p.mean(0), f"{var} Mean",
             metrics.get(f"{phase}/{var}/time_mean_rmse"), "Weighted RMSE",
         )
-        path = os.path.join(out_dir, f"{var}_time_mean.png")
-        fig.savefig(path, dpi=72)
-        plt.close(fig)
-        paths.append(path)
+        yield f"img/{var}/time_mean", f"{var}_time_mean", fig
 
         fig = comparison_figure(
             t.std(0), p.std(0), f"{var} Stddev",
             metrics.get(f"{phase}/{var}/time_stddev_mae"), "Weighted MAE",
             cmap=VIZ["variance_cmap"],
         )
-        path = os.path.join(out_dir, f"{var}_time_stddev.png")
-        fig.savefig(path, dpi=72)
-        plt.close(fig)
-        paths.append(path)
+        yield f"img/{var}/time_Stddev", f"{var}_time_stddev", fig
 
         if n_t > max(sample_timesteps):
             for ts in sample_timesteps:
                 fig = comparison_figure(t[ts], p[ts], f"{var} Timestep {ts}")
-                path = os.path.join(out_dir, f"{var}_month_idx_{ts}.png")
-                fig.savefig(path, dpi=72)
-                plt.close(fig)
-                paths.append(path)
+                yield f"img/{phase}/{var}/month_idx_{ts}", f"{var}_month_idx_{ts}", fig
+
+
+def save_epoch_panels(
+    run_dir: str,
+    phase: str,
+    preds_tchw: np.ndarray,
+    trues_tchw: np.ndarray,
+    output_vars: list[str],
+    metrics: dict,
+    sample_timesteps: tuple[int, ...] = (0, 12, 24, 36, 48, 60, 72, 84, 96, 108),
+    metrics_logger=None,
+    step: int = 0,
+    out_subdir: str | None = None,
+) -> list[str]:
+    """The reference's panel set (main_baseline.py:410-442): per variable a
+    time-mean map, a time-stddev map, and fixed sample timesteps. Saved under
+    <run_dir>/plots/<out_subdir or phase>; when a MetricsLogger is given, each
+    figure is also forwarded under its reference wandb name."""
+    out_dir = os.path.join(run_dir, "plots", out_subdir or phase)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for wandb_name, stub, fig in reference_panel_figures(
+        phase, preds_tchw, trues_tchw, output_vars, metrics, sample_timesteps
+    ):
+        path = os.path.join(out_dir, f"{stub}.png")
+        fig.savefig(path, dpi=72)
+        if metrics_logger is not None:
+            metrics_logger.log_image(wandb_name, fig, step=step)
+        plt.close(fig)
+        paths.append(path)
     return paths
 
 
@@ -111,9 +131,13 @@ def worst_loss_panels(
     trues_tchw: np.ndarray,
     output_vars: list[str],
     k: int = 4,
+    metrics_logger=None,
+    step: int = 0,
 ) -> list[str]:
     """Highest per-sample-loss panels (main_ensemble.py:488-547): rank train
-    samples by MSE and render the k worst, per variable."""
+    samples by MSE and render the k worst, per variable. Forwarded under the
+    reference's wandb names `img/train/{var}/month_idx_{sample}`
+    (main_ensemble.py:526) when a MetricsLogger is given."""
     per_sample = ((preds_tchw - trues_tchw) ** 2).mean(axis=(1, 2, 3))
     worst = np.argsort(per_sample)[-k:][::-1]
     out_dir = os.path.join(run_dir, "plots", "worst_loss")
@@ -128,6 +152,8 @@ def worst_loss_panels(
             )
             path = os.path.join(out_dir, f"rank{rank}_{var}_sample{idx}.png")
             fig.savefig(path, dpi=72)
+            if metrics_logger is not None:
+                metrics_logger.log_image(f"img/train/{var}/month_idx_{idx}", fig, step=step)
             plt.close(fig)
             paths.append(path)
     return paths

@@ -9,11 +9,19 @@ is built here the TPU way: one compiled scan over the months of a scenario.
 Because the emulator maps *forcings* -> (tas, pr), the scenario's forcing
 sequence is known for the whole horizon; the rollout advances a seq_len
 window over it month by month (zero left-padding at the start, exactly like
-the training windows) and emits a prediction per month. If output channels
-are ever fed back as inputs (`feedback=True` with matching channel slots),
-the scan carries predictions into the next window — true autoregression.
+the training windows) and emits a prediction per month.
 
-Everything stays on device; host sees one final (T, H, W, C_out) array.
+Feedback semantics (round-2 redesign): autoregression is only physically
+meaningful when the model was TRAINED with previous-month outputs as input
+channels (`data.feedback_vars=[tas, pr]` appends teacher-forced `prev_<var>`
+channels in the ETL). At rollout time, `feedback_slots` maps each output
+channel onto its `prev_<var>` input channel; the scan carries a rolling
+buffer of the last seq_len predictions and writes prediction(month-1) into
+frame `month`'s prev channel — for EVERY frame of the window, not just the
+last. The prev channels share the output variables' normalization stats
+(experiment.py pins them equal), so normalized predictions feed back with no
+re-normalization. Overwriting forcing channels (CO2/SO2/...) with
+predictions — round 1's behavior — is rejected at the CLI.
 """
 
 from __future__ import annotations
@@ -22,48 +30,83 @@ import jax
 import jax.numpy as jnp
 
 
-def rollout(apply_fn, variables, forcings, seq_len: int, *, feedback_channels: tuple[int, ...] = ()):
+def rollout(
+    apply_fn,
+    variables,
+    forcings,
+    seq_len: int,
+    *,
+    feedback_slots: dict[int, int] | None = None,
+):
     """Predict every month of a scenario with one compiled scan.
 
     Args:
       apply_fn: model forward, (variables, (B, T, H, W, C_in)) -> (B, H, W, C_out).
       variables: model variables (params [+ batch_stats]).
-      forcings: (T_total, H, W, C_in) normalized forcing sequence.
+      forcings: (T_total, H, W, C_in) normalized forcing sequence. When
+        feedback_slots is set, the mapped input channels are overwritten
+        frame-by-frame with the scan's own predictions (their stored values —
+        teacher-forced prev outputs or zeros — are ignored).
       seq_len: window length the model was trained with.
-      feedback_channels: input channel indices to overwrite with the previous
-        month's prediction (autoregressive feedback; () = pure forced run).
+      feedback_slots: {output_channel: input_channel} — input channel receives
+        the previous month's prediction for that output channel. None/{} =
+        pure forced run (prev channels, if any, keep their stored values).
 
     Returns:
       (T_total, H, W, C_out) normalized predictions.
     """
     t_total, h, w, c_in = forcings.shape
+    slots = dict(feedback_slots or {})
 
     # left-pad so the window for month 0 is [0-pad..., frame0]
     padded = jnp.concatenate(
         [jnp.zeros((seq_len - 1, h, w, c_in), forcings.dtype), forcings], axis=0
     )
 
-    def step(carry, t):
-        prev_pred = carry  # (H, W, C_out) or None-like zeros
-        window = jax.lax.dynamic_slice_in_dim(padded, t, seq_len, axis=0)
-        if feedback_channels:
-            # overwrite configured channels of the last frame with feedback
-            last = window[-1]
-            for j, ch in enumerate(feedback_channels):
-                last = last.at[..., ch].set(prev_pred[..., j])
-            window = window.at[-1].set(last)
-        pred = apply_fn(variables, window[None])[0]  # (H, W, C_out)
-        return pred, pred
+    c_out_probe = jax.eval_shape(
+        lambda v, x: apply_fn(v, x), variables, padded[None, :seq_len]
+    )
+    c_out = c_out_probe.shape[-1]
 
-    c_out_probe = apply_fn(variables, padded[None, :seq_len])  # trace-time shape probe
-    init = jnp.zeros(c_out_probe.shape[1:], c_out_probe.dtype)
+    def step(carry, t):
+        # carry: (seq_len, H, W, C_out) — predictions for months
+        # t-seq_len .. t-1 (zeros before the horizon start: the mean in
+        # normalized z-space, matching the zero left-padding of training
+        # windows).
+        preds_hist = carry
+        window = jax.lax.dynamic_slice_in_dim(padded, t, seq_len, axis=0)
+        for out_c, in_c in slots.items():
+            # frame k is month t-seq_len+1+k; its prev channel is the
+            # prediction for month t-seq_len+k = preds_hist[k]
+            window = window.at[..., in_c].set(preds_hist[..., out_c])
+        pred = apply_fn(variables, window[None])[0]  # (H, W, C_out)
+        new_hist = jnp.concatenate([preds_hist[1:], pred[None]], axis=0)
+        return new_hist, pred
+
+    init = jnp.zeros((seq_len, h, w, c_out), c_out_probe.dtype)
     _, preds = jax.lax.scan(step, init, jnp.arange(t_total))
     return preds
 
 
-def rollout_jit(apply_fn, seq_len: int, feedback_channels: tuple[int, ...] = ()):
+def rollout_jit(apply_fn, seq_len: int, feedback_slots: dict[int, int] | None = None):
     """jit-wrapped rollout with static window config."""
+    slots = tuple(sorted((feedback_slots or {}).items()))
+
     def run(variables, forcings):
-        return rollout(apply_fn, variables, forcings, seq_len, feedback_channels=feedback_channels)
+        return rollout(apply_fn, variables, forcings, seq_len, feedback_slots=dict(slots))
 
     return jax.jit(run)
+
+
+def feedback_slots_from_names(
+    input_vars: list[str], output_vars: list[str]
+) -> dict[int, int]:
+    """Derive {output_channel: input_channel} from `prev_<var>` input names.
+
+    Returns {} when the model has no prev channels (not feedback-trained).
+    """
+    slots: dict[int, int] = {}
+    for i, name in enumerate(input_vars):
+        if name.startswith("prev_") and name[5:] in output_vars:
+            slots[output_vars.index(name[5:])] = i
+    return slots

@@ -23,6 +23,7 @@ def n_input_channels(data_cfg: dict) -> int:
     n = len(data_cfg["input_vars"])
     if data_cfg.get("seasonal_embeddings"):
         n += 2
+    n += len(data_cfg.get("feedback_vars", []) or [])  # prev_<var> channels
     return n
 
 

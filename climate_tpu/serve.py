@@ -28,12 +28,15 @@ from .transforms import normalize as tf
 
 class Predictor:
     def __init__(self, model, variables, input_stats: tf.StatsMap, output_stats: tf.StatsMap,
-                 seq_len: int | None = None):
+                 seq_len: int | None = None, input_var_names: list[str] | None = None,
+                 output_var_names: list[str] | None = None):
         self.model = model
         self.variables = variables
         self.input_stats = input_stats
         self.output_stats = output_stats
         self.seq_len = seq_len
+        self.input_var_names = list(input_var_names or [])
+        self.output_var_names = list(output_var_names or [])
         self._forward = jax.jit(lambda v, x: model.apply(v, x))
 
     # ------------------------------------------------------------------
@@ -61,8 +64,24 @@ class Predictor:
         input_stats = {int(k): v for k, v in meta["input_stats"].items()}
         output_stats = {int(k): v for k, v in meta["output_stats"].items()}
 
-        input_vars = input_vars or ["CO2", "SO2", "CH4", "BC", "rsdt"]
-        output_vars = output_vars or ["tas", "pr"]
+        # Round-2 checkpoints are self-describing: meta["data"] carries the
+        # full resolved channel naming (incl. seasonal + prev_* channels) and
+        # the trained seq_len; explicit arguments still win.
+        data_meta = meta.get("data", {})
+        channel_names = data_meta.get("input_vars")
+        output_vars = output_vars or data_meta.get("output_vars") or ["tas", "pr"]
+        if channel_names:
+            n_in = len(channel_names)
+            seasonal_embeddings = False  # already materialized in channel_names
+            input_vars = input_vars or [v for v in channel_names
+                                        if v not in ("sin_month", "cos_month")
+                                        and not v.startswith("prev_")]
+        else:
+            input_vars = input_vars or ["CO2", "SO2", "CH4", "BC", "rsdt"]
+            n_in = len(input_vars) + (2 if seasonal_embeddings else 0)
+            channel_names = list(input_vars) + (
+                ["sin_month", "cos_month"] if seasonal_embeddings else []
+            )
         cfg = {
             "model": {"type": model_type, **(model_kwargs or {})},
             "data": {
@@ -73,11 +92,10 @@ class Predictor:
             "training": {},
         }
         model = get_model(cfg)
-        n_in = len(input_vars) + (2 if seasonal_embeddings else 0)
 
         from .models import is_sequence_model
 
-        seq = seq_len if is_sequence_model(cfg) else None
+        seq = (data_meta.get("seq_len") or seq_len) if is_sequence_model(cfg) else None
         if seq is not None:
             example = jnp.zeros((1, seq, 48, 72, n_in), jnp.float32)
         else:
@@ -87,7 +105,8 @@ class Predictor:
 
         state_template = create_train_state(model, jax.random.PRNGKey(0), example, build_optimizer(1e-3))
         restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path), state_template)
-        return cls(model, restored.variables(), input_stats, output_stats, seq_len=seq)
+        return cls(model, restored.variables(), input_stats, output_stats, seq_len=seq,
+                   input_var_names=channel_names, output_var_names=output_vars)
 
     # ------------------------------------------------------------------
     def predict(self, forcings, normalized: bool = False):
@@ -100,18 +119,29 @@ class Predictor:
         return tf.inverse_transform(pred_norm.astype(jnp.float32), self.output_stats, channel_axis=-1)
 
     def rollout(self, scenario_forcings, normalized: bool = False, feedback: bool = False):
-        """Scenario forcings (T, H, W, C_in) -> (T, H, W, C_out), one scan."""
-        from .eval.rollout import rollout_jit
+        """Scenario forcings (T, H, W, C_in) -> (T, H, W, C_out), one scan.
+
+        feedback=True feeds each month's prediction into the next month's
+        prev_<var> input channels — only valid for models trained with
+        data.feedback_vars (see eval/rollout.py); raises otherwise instead of
+        corrupting forcing channels."""
+        from .eval.rollout import feedback_slots_from_names, rollout_jit
 
         if self.seq_len is None:
             raise ValueError("rollout requires a sequence model")
+        slots = feedback_slots_from_names(self.input_var_names, self.output_var_names)
+        if feedback and not slots:
+            raise ValueError(
+                "feedback=True requires a model trained with data.feedback_vars "
+                "(prev_* input channels); this checkpoint has none."
+            )
         x = jnp.asarray(scenario_forcings, jnp.float32)
         if not normalized:
             x = jnp.nan_to_num(tf.normalize(x, self.input_stats, channel_axis=-1), nan=0.0)
         run = rollout_jit(
             lambda v, xx: self.model.apply(v, xx),
             seq_len=self.seq_len,
-            feedback_channels=tuple(range(len(self.output_stats))) if feedback else (),
+            feedback_slots=slots if feedback else None,
         )
         pred_norm = run(self.variables, x)
         return tf.inverse_transform(pred_norm.astype(jnp.float32), self.output_stats, channel_axis=-1)

@@ -52,6 +52,7 @@ class CheckpointManager:
         epoch: int,
         input_stats: StatsMap,
         output_stats: StatsMap,
+        extra_meta: dict[str, Any] | None = None,
     ) -> bool:
         """Save last (always) and best (if monitor improved). Returns whether
         this checkpoint became the new best."""
@@ -61,6 +62,7 @@ class CheckpointManager:
             "metrics": {k: float(v) for k, v in metrics.items()},
             "input_stats": {str(k): v for k, v in input_stats.items()},
             "output_stats": {str(k): v for k, v in output_stats.items()},
+            **(extra_meta or {}),
         }
         if self.save_last:
             self._save("last", state, meta)

@@ -27,7 +27,7 @@ from ..transforms import normalize as tf
 from ..utils.logging import MetricsLogger, get_logger
 from ..utils.timer import StepTimer, profile_trace
 from .checkpoint import CheckpointManager, restore_from_path
-from .state import build_optimizer, create_train_state
+from .state import build_optimizer, create_train_state, make_lr_schedule
 from .trainer import StepFunctions, pad_batch, predict_dataset
 
 log = get_logger(__name__)
@@ -84,6 +84,7 @@ class Experiment:
             seasonal_embeddings=bool(data_cfg.get("seasonal_embeddings", False)),
             mask_tas_below=data_cfg.get("mask_tas_below"),
             sanitize_threshold=data_cfg.get("sanitize_threshold", 1e10),
+            feedback_vars=list(data_cfg.get("feedback_vars", []) or []),
         )
         self.bundle = bundle
         self.lat, self.lon = bundle.lat, bundle.lon
@@ -97,6 +98,18 @@ class Experiment:
         else:  # baseline/ensemble: global z-score without epsilon
             self.input_stats = tf.global_zscore_stats(bundle.train.inputs)
             self.output_stats = tf.global_zscore_stats(bundle.train.outputs)
+
+        # Teacher-forced prev_<var> input channels share the output variable's
+        # stats, so the normalized input and output spaces coincide and the
+        # rollout scan can feed normalized predictions straight back
+        # (eval/rollout.py feedback semantics).
+        for var in data_cfg.get("feedback_vars", []) or []:
+            ci = bundle.input_vars.index(f"prev_{var}")
+            co = bundle.output_vars.index(var)
+            self.input_stats[ci] = {
+                "method": self.output_stats[co]["method"],
+                "params": dict(self.output_stats[co]["params"]),
+            }
 
         # --- normalize on host (f8 math like dask), then device-resident NHWC.
         # Sanitized (corrupt -> NaN) input points are zero-filled in z-space
@@ -141,26 +154,26 @@ class Experiment:
 
         training = cfg.get("training", {})
         n_batches_per_epoch = -(-self.train_ds.n // self.batch_size)
-        total_steps = n_batches_per_epoch * int(trainer_cfg.get("max_epochs", 1))
-        self.tx = build_optimizer(
-            float(training.get("lr", 5e-4)),
-            float(training.get("weight_decay", 0.0)),
-            schedule=training.get("lr_schedule", "constant"),
-            total_steps=max(total_steps, 1),
-            warmup_steps=int(training.get("warmup_steps", 0)),
-        )
+        # Schedule horizon: explicit training.total_steps wins; otherwise
+        # derived from THIS run's max_epochs. A resumed run re-adopts the
+        # horizon recorded in its checkpoint (see below) so changing
+        # max_epochs at resume cannot silently reshape the decay curve.
+        self._schedule_cfg = {
+            "name": training.get("lr_schedule", "constant"),
+            "lr": float(training.get("lr", 5e-4)),
+            "weight_decay": float(training.get("weight_decay", 0.0)),
+            "total_steps": int(training.get("total_steps") or 0)
+            or max(n_batches_per_epoch * int(trainer_cfg.get("max_epochs", 1)), 1),
+            "warmup_steps": int(training.get("warmup_steps", 0)),
+        }
+        self._explicit_total_steps = bool(training.get("total_steps"))
+        self.tx, self.lr_schedule = self._build_tx()
 
         rng = jax.random.PRNGKey(self.seed)
         example = self._example_batch()
         self.state = create_train_state(self.model, rng, example, self.tx)
         self.state = jax.device_put(self.state, repl)
         has_bs = bool(self.state.batch_stats)
-        use_dropout = cfg["model"]["type"] in ("SimpleCNN", "cnn_transformer")
-        self.step_fns = StepFunctions.build(
-            self.model, self.tx, self.mesh,
-            seq_len=self.seq_len,
-            has_batch_stats=has_bs, use_dropout=use_dropout,
-        )
 
         # --- run dir + logging (reference: hydra outputs/<date>/<time>) ---
         root = cfg.get("output_dir", "outputs")
@@ -215,9 +228,53 @@ class Experiment:
             if "input_stats" in meta:  # stats travel with the checkpoint
                 self.input_stats = meta["input_stats"]
                 self.output_stats = meta["output_stats"]
+            self._adopt_checkpoint_schedule(meta.get("schedule"))
             log.info(f"Restored checkpoint from {cfg['ckpt_path']} (epoch {self.start_epoch})")
 
+        # step functions close over the (possibly resume-adjusted) optimizer,
+        # so they are built only after any checkpoint restore above.
+        self.step_fns = StepFunctions.build(
+            self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs
+        )
+
         self.timer = StepTimer()
+
+    # ------------------------------------------------------------------
+    def _build_tx(self):
+        sc = self._schedule_cfg
+        tx = build_optimizer(
+            sc["lr"], sc["weight_decay"],
+            schedule=sc["name"], total_steps=sc["total_steps"], warmup_steps=sc["warmup_steps"],
+        )
+        sched = make_lr_schedule(sc["lr"], sc["name"], sc["total_steps"], sc["warmup_steps"])
+        return tx, sched
+
+    def _adopt_checkpoint_schedule(self, saved: dict | None) -> None:
+        """Keep the decay horizon of the run that WROTE the checkpoint.
+
+        `total_steps` for cosine was historically derived from the resuming
+        run's max_epochs, so resuming with a different max_epochs silently
+        reshaped the decay. Unless the user pins `training.total_steps`
+        explicitly or switches schedules, the saved horizon wins."""
+        if not saved or self._explicit_total_steps:
+            return
+        if saved.get("name") != self._schedule_cfg["name"]:
+            log.warning(
+                f"Resume changes lr_schedule {saved.get('name')!r} -> "
+                f"{self._schedule_cfg['name']!r}; using the new schedule as configured."
+            )
+            return
+        saved_steps = int(saved.get("total_steps", 0))
+        if saved_steps and saved_steps != self._schedule_cfg["total_steps"]:
+            log.info(
+                f"Adopting checkpointed schedule horizon total_steps={saved_steps} "
+                f"(this run's config would have derived {self._schedule_cfg['total_steps']})"
+            )
+            self._schedule_cfg["total_steps"] = saved_steps
+            self._schedule_cfg["warmup_steps"] = int(
+                saved.get("warmup_steps", self._schedule_cfg["warmup_steps"])
+            )
+            self.tx, self.lr_schedule = self._build_tx()
 
     # ------------------------------------------------------------------
     def _example_batch(self):
@@ -286,14 +343,39 @@ class Experiment:
                             self.metrics_logger.log({"train/loss": loss}, step=int(self.state.step))
                         self.timer.stop(int(mask.sum()))
 
+                # per-layer gradient/weight histograms (reference:
+                # wandb.watch(model, log="all")): on by default with wandb,
+                # opt-in via trainer.watch_every_n_epochs otherwise (fallback
+                # stream lands in <run_dir>/histograms.jsonl).
+                watch_every = cfg_tr.get("watch_every_n_epochs")
+                if watch_every is None:
+                    watch_every = 1 if self.metrics_logger.wandb_active else 0
+                if int(watch_every) > 0 and epoch % int(watch_every) == 0:
+                    idx_p, mask = pad_batch(batches[-1], self.batch_size)
+                    self._log_watch_histograms(idx_p, mask, jax.random.fold_in(drop_rng, epoch))
+
                 val_metrics = self.validate(epoch)
                 last_val = val_metrics
-                # LR stream (reference: LearningRateMonitor, trainer/default.yaml:21-22)
+                # Live LR stream (reference: LearningRateMonitor,
+                # trainer/default.yaml:21-22): evaluate the actual schedule at
+                # the last optimizer step of this epoch, not the config value.
                 self.metrics_logger.log(
-                    {"lr": float(self.cfg.get("training", {}).get("lr", 5e-4))},
+                    {"lr": float(self.lr_schedule(max(int(self.state.step) - 1, 0)))},
                     step=int(self.state.step),
                 )
-                self.ckpt.save(self.state, val_metrics, epoch, self.input_stats, self.output_stats)
+                self.ckpt.save(
+                    self.state, val_metrics, epoch, self.input_stats, self.output_stats,
+                    extra_meta={
+                        "schedule": dict(self._schedule_cfg),
+                        # channel naming makes checkpoints self-describing for
+                        # serving/rollout (feedback slot discovery by name)
+                        "data": {
+                            "input_vars": list(self.bundle.input_vars),
+                            "output_vars": list(self.output_vars),
+                            "seq_len": self.seq_len,
+                        },
+                    },
+                )
                 log.info(
                     f"epoch {epoch}: train/loss={np.mean(losses) if losses else float('nan'):.4f} "
                     f"val/loss={val_metrics['val/loss']:.4f} "
@@ -306,6 +388,23 @@ class Experiment:
             self._visualize_worst_train_loss()
         return last_val
 
+    def _log_watch_histograms(self, idx, mask, rng) -> None:
+        """One extra grad computation per watched epoch; histograms named
+        gradients/<param> and parameters/<param> like wandb.watch's stream."""
+        grads = self.step_fns.grad_fn(
+            self.state, self.train_ds.inputs, self.train_ds.outputs,
+            jnp.asarray(idx), jnp.asarray(mask), rng,
+        )
+        step = int(self.state.step)
+
+        def name_of(path) -> str:
+            return ".".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+            self.metrics_logger.log_histogram(f"gradients/{name_of(path)}", np.asarray(leaf), step)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(self.state.params):
+            self.metrics_logger.log_histogram(f"parameters/{name_of(path)}", np.asarray(leaf), step)
+
     def _visualize_worst_train_loss(self) -> None:
         """Worst-train-loss panels at train end (main_ensemble.py:488-547)."""
         from ..eval.plots import worst_loss_panels
@@ -315,7 +414,10 @@ class Experiment:
         )
         preds = np.asarray(jnp.transpose(preds_norm, (0, 3, 1, 2)), dtype=np.float32)
         trues = np.asarray(jnp.transpose(self.train_ds.outputs, (0, 3, 1, 2)), dtype=np.float32)
-        paths = worst_loss_panels(self.run_dir, preds, trues, self.output_vars)
+        paths = worst_loss_panels(
+            self.run_dir, preds, trues, self.output_vars,
+            metrics_logger=self.metrics_logger, step=int(self.state.step),
+        )
         log.info(f"Saved {len(paths)} worst-loss panels under {self.run_dir}/plots/worst_loss")
 
     # ------------------------------------------------------------------
@@ -332,15 +434,20 @@ class Experiment:
         metrics = {k: float(v) for k, v in metrics.items()}
         self.metrics_logger.log(metrics, step=int(self.state.step))
 
-        # per-epoch val image panels (reference logs wandb images every val
-        # epoch, main_baseline.py:410-442) — cadence-gated, off by default
+        # per-epoch val image panels: with wandb active they stream every val
+        # epoch under the reference's exact names (main_baseline.py:410-442);
+        # otherwise PNG-only, cadence-gated via save_plots_every_n_epochs.
         every = int(self.cfg.get("trainer", {}).get("save_plots_every_n_epochs", 0) or 0)
-        if every > 0 and epoch % every == 0:
+        if (every > 0 and epoch % every == 0) or self.metrics_logger.wandb_active:
             from ..eval.plots import save_epoch_panels
 
             preds = np.asarray(self._denorm_tchw(preds_norm.astype(jnp.float32)), dtype=np.float32)
             trues = np.asarray(self._denorm_tchw(self.val_ds.outputs), dtype=np.float32)
-            save_epoch_panels(self.run_dir, f"val_epoch{epoch}", preds, trues, self.output_vars, metrics)
+            save_epoch_panels(
+                self.run_dir, "val", preds, trues, self.output_vars, metrics,
+                metrics_logger=self.metrics_logger, step=int(self.state.step),
+                out_subdir=f"val_epoch{epoch}",
+            )
         return metrics
 
     # ------------------------------------------------------------------

@@ -29,6 +29,33 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
+def make_lr_schedule(
+    lr: float,
+    schedule: str = "constant",
+    total_steps: int | None = None,
+    warmup_steps: int = 0,
+) -> optax.Schedule:
+    """Step -> learning-rate callable; the single source for the optimizer
+    AND the observability stream (the reference's LearningRateMonitor,
+    configs/trainer/default.yaml:21-22, logs the live value — so do we).
+
+    schedule: "constant" (reference parity — configs/training/default.yaml
+    fixed lr) | "cosine" (decay to 0 over total_steps, optional linear
+    warmup) — a beyond-parity option, off by default.
+    """
+    if schedule == "constant":
+        return optax.constant_schedule(lr)
+    if schedule == "cosine":
+        if not total_steps:
+            raise ValueError("cosine schedule requires total_steps")
+        if warmup_steps:
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr, warmup_steps=warmup_steps, decay_steps=total_steps
+            )
+        return optax.cosine_decay_schedule(init_value=lr, decay_steps=total_steps)
+    raise ValueError(f"Unknown lr schedule: {schedule!r}")
+
+
 def build_optimizer(
     lr: float,
     weight_decay: float = 0.0,
@@ -36,25 +63,11 @@ def build_optimizer(
     total_steps: int | None = None,
     warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
-    """torch-Adam-equivalent chain with an optional LR schedule.
-
-    schedule: "constant" (reference parity — configs/training/default.yaml
-    fixed lr) | "cosine" (decay to 0 over total_steps, optional linear
-    warmup) — a beyond-parity option, off by default.
-    """
-    if schedule == "constant":
-        sched = lr
-    elif schedule == "cosine":
-        if not total_steps:
-            raise ValueError("cosine schedule requires total_steps")
-        if warmup_steps:
-            sched = optax.warmup_cosine_decay_schedule(
-                init_value=0.0, peak_value=lr, warmup_steps=warmup_steps, decay_steps=total_steps
-            )
-        else:
-            sched = optax.cosine_decay_schedule(init_value=lr, decay_steps=total_steps)
-    else:
-        raise ValueError(f"Unknown lr schedule: {schedule!r}")
+    """torch-Adam-equivalent chain with an optional LR schedule (see
+    make_lr_schedule). Always a schedule *callable* — even for constant —
+    so the opt_state pytree has one structure across schedules and a
+    checkpoint written under one schedule restores under another."""
+    sched = make_lr_schedule(lr, schedule, total_steps, warmup_steps)
 
     parts = []
     if weight_decay:

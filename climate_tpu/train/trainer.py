@@ -47,10 +47,11 @@ class StepFunctions:
     predict: callable
     predict_split_for: callable = None  # (n, batch_size) -> jitted whole-split fn
     train_epoch: callable = None  # whole epoch as one lax.scan dispatch
+    grad_fn: callable = None  # gradients only, for watch-style histograms
 
     @staticmethod
     def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
-              has_batch_stats: bool, use_dropout: bool):
+              has_batch_stats: bool):
         """seq_len=None -> single-frame models; else sliding-window gather."""
 
         def gather(x_all, idx):
@@ -64,7 +65,11 @@ class StepFunctions:
                 variables["batch_stats"] = batch_stats
             kwargs = dict(train=train)
             mutable = ["batch_stats"] if (train and has_batch_stats) else False
-            rngs = {"dropout": rng} if (train and use_dropout) else None
+            # The rng is threaded whenever one is available in train mode; the
+            # *module* decides whether dropout consumes it (flax ignores
+            # unused rngs), so a new model with dropout can never silently
+            # train without it (a hardcoded model-name list could go stale).
+            rngs = {"dropout": rng} if (train and rng is not None) else None
             out = model.apply(variables, x, rngs=rngs, mutable=mutable, **kwargs)
             if mutable:
                 pred, mutated = out
@@ -108,6 +113,17 @@ class StepFunctions:
 
             return jax.lax.scan(body, state, (idx_mat, mask_mat))
 
+        def _grads(state, x_all, y_all, idx, mask, rng):
+            """Gradient tree for one batch, no update — feeds the per-layer
+            histogram stream (reference: wandb.watch(model, log="all"),
+            utils_baseline.py:122)."""
+            x = gather(x_all, idx)
+            y = gather_frames(y_all, idx)
+            (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, x, y, mask, rng
+            )
+            return grads
+
         def _predict(state, x_all, idx):
             """Eval forward for a (padded) index batch -> normalized preds."""
             x = gather(x_all, idx)
@@ -133,6 +149,11 @@ class StepFunctions:
             _predict,
             in_shardings=(repl, repl, shard_b),
             out_shardings=shard_b,
+        )
+        grad_fn = jax.jit(
+            _grads,
+            in_shardings=(repl, repl, repl, shard_b, shard_b, repl),
+            out_shardings=repl,
         )
 
         # Whole-split inference as ONE jitted program: lax.map over fixed-size
@@ -166,6 +187,7 @@ class StepFunctions:
             predict=predict,
             predict_split_for=predict_split_for,
             train_epoch=train_epoch,
+            grad_fn=grad_fn,
         )
 
 

@@ -60,6 +60,10 @@ class MetricsLogger:
         if use_wandb and wandb is not None and is_main_process():
             self._wandb_run = wandb.init(dir=run_dir, **(wandb_kwargs or {}))
 
+    @property
+    def wandb_active(self) -> bool:
+        return self._wandb_run is not None
+
     def log(self, metrics: dict[str, Any], step: int) -> None:
         if not is_main_process():
             return
@@ -82,6 +86,47 @@ class MetricsLogger:
             w.writerow(row)
         if self._wandb_run is not None:
             self._wandb_run.log(metrics, step=step)
+
+    def log_image(self, name: str, fig, step: int) -> None:
+        """Forward a matplotlib figure under a wandb-style name (e.g.
+        `img/tas/time_mean`, matching main_baseline.py:410-442). With wandb
+        off, the figure lands as <run_dir>/media/<name>.png (latest wins; the
+        per-epoch archive lives under plots/), keeping the stream
+        name-for-name diffable against the reference's."""
+        if not is_main_process():
+            return
+        if self._wandb_run is not None:
+            self._wandb_run.log({name: wandb.Image(fig)}, step=step)
+        else:
+            path = os.path.join(self.run_dir, "media", name.replace("/", "_") + ".png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fig.savefig(path, dpi=72)
+
+    def log_histogram(self, name: str, values, step: int, bins: int = 64) -> None:
+        """Per-layer gradient/weight histograms (the reference's
+        wandb.watch(model, log="all"), utils_baseline.py:122: names
+        `gradients/<param>` and `parameters/<param>`). Fallback: JSON lines in
+        <run_dir>/histograms.jsonl with counts+edges."""
+        if not is_main_process():
+            return
+        import numpy as np
+
+        flat = np.asarray(values, dtype=np.float32).ravel()
+        counts, edges = np.histogram(flat, bins=bins)
+        if self._wandb_run is not None:
+            self._wandb_run.log(
+                {name: wandb.Histogram(np_histogram=(counts.tolist(), edges.tolist()))},
+                step=step,
+            )
+        else:
+            import json
+
+            with open(os.path.join(self.run_dir, "histograms.jsonl"), "a") as f:
+                f.write(json.dumps({
+                    "step": step, "name": name,
+                    "counts": counts.tolist(),
+                    "edges": [float(e) for e in edges],
+                }) + "\n")
 
     def _rewrite_with_header(self) -> None:
         if not os.path.exists(self.csv_path):

@@ -174,3 +174,53 @@ class TestNonConsolidatedStore:
         assert g.array_names == ["time", "y"]
         np.testing.assert_array_equal(g.read("y"), zarr_group.read("y"))
         assert g.meta("time").dims == ("time",)
+
+
+@requires_data
+class TestFeedbackChannels:
+    """data.feedback_vars: teacher-forced prev_<var> input channels (round-2
+    rollout-feedback redesign)."""
+
+    def test_prev_channel_is_shifted_output_clamped_start(self, zarr_group):
+        from climate_tpu.data.etl import load_ssp_arrays
+
+        x, y = load_ssp_arrays(
+            zarr_group, "ssp126", INPUT_VARS, OUTPUT_VARS, [0], feedback_vars=["tas", "pr"]
+        )
+        assert x.shape[1] == len(INPUT_VARS) + 2
+        prev_tas, prev_pr = x[:, 5], x[:, 6]
+        np.testing.assert_array_equal(prev_tas[0], y[0, 0])  # clamp: prev[0]=out[0]
+        np.testing.assert_array_equal(prev_tas[1:], y[:-1, 0])
+        np.testing.assert_array_equal(prev_pr[1:], y[:-1, 1])
+
+    def test_prev_channels_do_not_cross_member_boundaries(self, zarr_group):
+        from climate_tpu.data.etl import load_ssp_arrays
+
+        x, y = load_ssp_arrays(
+            zarr_group, "ssp126", INPUT_VARS, OUTPUT_VARS, [0, 1], feedback_vars=["tas"]
+        )
+        n = y.shape[0] // 2  # per-member length
+        # first frame of member 1 clamps to member 1's own first output,
+        # not member 0's last (shift applied before the time-concat)
+        np.testing.assert_array_equal(x[n, 5], y[n, 0])
+        assert not np.array_equal(x[n, 5], y[n - 1, 0])
+
+    def test_bundle_names_and_order(self, zarr_group):
+        from climate_tpu.data import prepare_databundle
+
+        b = prepare_databundle(
+            zarr_group, pipeline="final", input_vars=INPUT_VARS, output_vars=OUTPUT_VARS,
+            train_ssps=["ssp126"], test_ssp="ssp245", member_ids=[0],
+            seasonal_embeddings=True, feedback_vars=["tas", "pr"], val_ssp="ssp126",
+            val_months=100,
+        )
+        assert b.input_vars == INPUT_VARS + ["sin_month", "cos_month", "prev_tas", "prev_pr"]
+        assert b.train.inputs.shape[1] == 9
+
+    def test_unknown_feedback_var_raises(self, zarr_group):
+        from climate_tpu.data.etl import load_ssp_arrays
+
+        with pytest.raises(ValueError, match="feedback var"):
+            load_ssp_arrays(
+                zarr_group, "ssp126", INPUT_VARS, OUTPUT_VARS, [0], feedback_vars=["rsdt"]
+            )

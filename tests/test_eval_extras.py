@@ -37,13 +37,62 @@ class TestRollout:
         np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(direct0), rtol=2e-5, atol=2e-5)
 
     def test_feedback_rollout_differs_from_forced(self):
+        """A feedback-trained model (7 = 5 forcings + prev_tas/prev_pr input
+        channels): autoregressive feedback must change the trajectory."""
+        from climate_tpu.eval.rollout import rollout_jit
+        from climate_tpu.models import AttUNetConvLSTM
+
+        m = AttUNetConvLSTM(n_output_channels=2, base=8)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 3, 48, 72, 7)))
+        forcings = jax.random.normal(jax.random.PRNGKey(1), (6, 48, 72, 7))
+        forced = rollout_jit(lambda vv, x: m.apply(vv, x), seq_len=3)(v, forcings)
+        fed = rollout_jit(
+            lambda vv, x: m.apply(vv, x), seq_len=3, feedback_slots={0: 5, 1: 6}
+        )(v, forcings)
+        assert not np.allclose(np.asarray(forced[3:]), np.asarray(fed[3:]))
+
+    def test_feedback_matches_manual_loop(self):
+        """Pin the exact window assembly: every frame's prev channels carry
+        the prediction for the frame's previous month, from a rolling buffer,
+        zeros before the horizon start."""
         from climate_tpu.eval.rollout import rollout_jit
 
-        m, v = self._model()
-        forcings = jax.random.normal(jax.random.PRNGKey(1), (6, 48, 72, 5))
-        forced = rollout_jit(lambda vv, x: m.apply(vv, x), seq_len=3)(v, forcings)
-        fed = rollout_jit(lambda vv, x: m.apply(vv, x), seq_len=3, feedback_channels=(0, 1))(v, forcings)
-        assert not np.allclose(np.asarray(forced[3:]), np.asarray(fed[3:]))
+        seq, t_tot, h, w = 3, 6, 2, 2
+        c_in, c_out = 4, 2  # channels 2,3 are prev_* slots
+        slots = {0: 2, 1: 3}
+
+        def apply_fn(v, x):  # deterministic mix so feedback is observable
+            win = x[0]  # (T, H, W, 4)
+            pred = win[..., :2].mean(axis=0) * 0.5 + win[..., 2:4].mean(axis=0) * 0.25 + 0.1
+            return pred[None]
+
+        forcings = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2), (t_tot, h, w, c_in)), np.float32
+        )
+        got = np.asarray(rollout_jit(apply_fn, seq_len=seq, feedback_slots=slots)(
+            {}, jnp.asarray(forcings)
+        ))
+
+        padded = np.concatenate([np.zeros((seq - 1, h, w, c_in), np.float32), forcings])
+        hist = np.zeros((seq, h, w, c_out), np.float32)
+        want = []
+        for t in range(t_tot):
+            win = padded[t : t + seq].copy()
+            for oc, ic in slots.items():
+                win[..., ic] = hist[..., oc]
+            pred = win[..., :2].mean(axis=0) * 0.5 + win[..., 2:4].mean(axis=0) * 0.25 + 0.1
+            hist = np.concatenate([hist[1:], pred[None]])
+            want.append(pred)
+        np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-6)
+
+    def test_feedback_slots_from_names(self):
+        from climate_tpu.eval.rollout import feedback_slots_from_names
+
+        names = ["CO2", "SO2", "sin_month", "cos_month", "prev_tas", "prev_pr"]
+        assert feedback_slots_from_names(names, ["tas", "pr"]) == {0: 4, 1: 5}
+        assert feedback_slots_from_names(["CO2", "SO2"], ["tas", "pr"]) == {}
+        # a prev_* channel without a matching output var is ignored
+        assert feedback_slots_from_names(["prev_foo"], ["tas", "pr"]) == {}
 
 
 class TestPlots:
@@ -85,7 +134,7 @@ class TestBf16Policy:
             # params stay fp32 regardless of compute dtype
             assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
             fns = StepFunctions.build(
-                m, tx, mesh, seq_len=None, has_batch_stats=False, use_dropout=False
+                m, tx, mesh, seq_len=None, has_batch_stats=False
             )
             idx, mask = pad_batch(np.arange(8), 8)
             state, loss = fns.train_step(
@@ -107,3 +156,89 @@ class TestBf16Policy:
         assert get_model(cfg).dtype == jnp.bfloat16
         cfg["training"]["precision"] = "fp32"
         assert get_model(cfg).dtype == jnp.float32
+
+
+class TestObservability:
+    """Round-2 observability parity: reference-named image stream +
+    watch-style histograms (VERDICT item 3)."""
+
+    def test_reference_panel_names_exact(self, synthetic_fields):
+        from climate_tpu.eval.plots import reference_panel_figures
+        import matplotlib.pyplot as plt
+
+        preds, trues, *_ = synthetic_fields
+        names = []
+        for name, stub, fig in reference_panel_figures(
+            "val", preds, trues, ["tas", "pr"], {}, sample_timesteps=(0, 5)
+        ):
+            names.append(name)
+            plt.close(fig)
+        assert names == [
+            "img/tas/time_mean", "img/tas/time_Stddev",  # capital S quirk
+            "img/val/tas/month_idx_0", "img/val/tas/month_idx_5",
+            "img/pr/time_mean", "img/pr/time_Stddev",
+            "img/val/pr/month_idx_0", "img/val/pr/month_idx_5",
+        ]
+
+    def test_log_image_fallback_writes_png(self, tmp_path):
+        import matplotlib.pyplot as plt
+        from climate_tpu.utils.logging import MetricsLogger
+
+        ml = MetricsLogger(str(tmp_path))
+        fig = plt.figure()
+        ml.log_image("img/tas/time_mean", fig, step=3)
+        plt.close(fig)
+        assert os.path.exists(tmp_path / "media" / "img_tas_time_mean.png")
+
+    def test_log_histogram_fallback_jsonl(self, tmp_path):
+        import json
+        from climate_tpu.utils.logging import MetricsLogger
+
+        ml = MetricsLogger(str(tmp_path))
+        ml.log_histogram("gradients/conv.kernel", np.random.default_rng(0).normal(size=100), step=7)
+        lines = [json.loads(ln) for ln in open(tmp_path / "histograms.jsonl")]
+        assert lines[0]["name"] == "gradients/conv.kernel"
+        assert lines[0]["step"] == 7
+        assert sum(lines[0]["counts"]) == 100
+        assert len(lines[0]["edges"]) == len(lines[0]["counts"]) + 1
+
+    def test_wandb_forwarding_names(self, tmp_path, monkeypatch):
+        """With a fake wandb module, images/histograms/scalars arrive under
+        the reference names."""
+        import matplotlib.pyplot as plt
+        import climate_tpu.utils.logging as ul
+
+        logged = []
+
+        class FakeRun:
+            def log(self, d, step=None):
+                logged.append((dict(d), step))
+
+            def finish(self):
+                pass
+
+        class FakeWandb:
+            @staticmethod
+            def init(**kw):
+                return FakeRun()
+
+            class Image:
+                def __init__(self, fig):
+                    self.fig = fig
+
+            class Histogram:
+                def __init__(self, np_histogram=None):
+                    self.np_histogram = np_histogram
+
+        monkeypatch.setattr(ul, "wandb", FakeWandb)
+        ml = ul.MetricsLogger(str(tmp_path), use_wandb=True)
+        assert ml.wandb_active
+        fig = plt.figure()
+        ml.log_image("img/pr/time_Stddev", fig, step=1)
+        plt.close(fig)
+        ml.log_histogram("parameters/dense.bias", np.zeros(4), step=1)
+        ml.log({"val/loss": 0.5}, step=1)
+        keys = [k for d, _ in logged for k in d]
+        assert "img/pr/time_Stddev" in keys
+        assert "parameters/dense.bias" in keys
+        assert "val/loss" in keys

@@ -37,7 +37,7 @@ def main():
     example = jnp.zeros((BATCH, SEQ, 48, 72, 7), jnp.float32)
 
     fns = StepFunctions.build(model, tx, mesh, seq_len=SEQ,
-                              has_batch_stats=False, use_dropout=False)
+                              has_batch_stats=False)
     data_x = replicate(mesh, jax.random.normal(jax.random.PRNGKey(1), (8109, 48, 72, 7)))
     data_y = replicate(mesh, jax.random.normal(jax.random.PRNGKey(2), (8109, 48, 72, 2)))
     host = np.random.default_rng(0)
