@@ -65,7 +65,20 @@ def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
     data (N, H, W, C), idx (B,) target indices -> (B, T, H, W, C) where
     window t covers [idx-T+1, ..., idx]; positions before t=0 are zeros
     (reference main_final.py:123-145).
+
+    Dispatch: on TPU with lane-aligned rows the Pallas row-DMA kernel
+    (ops/window_gather.py) assembles the batch; XLA take+mask otherwise.
+    Override with CLIMATE_TPU_WINDOW_GATHER=xla|pallas.
     """
+    import os
+
+    mode = os.environ.get("CLIMATE_TPU_WINDOW_GATHER", "auto")
+    if mode != "xla":
+        from ..ops.window_gather import gather_windows_pallas, supported
+
+        platform = jax.devices()[0].platform
+        if mode == "pallas" or supported(data.shape, platform):
+            return gather_windows_pallas(data, idx, seq_len)
     offsets = jnp.arange(seq_len, dtype=idx.dtype) - (seq_len - 1)  # [-T+1 .. 0]
     widx = idx[:, None] + offsets[None, :]  # (B, T)
     valid = widx >= 0

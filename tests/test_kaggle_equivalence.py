@@ -99,3 +99,41 @@ def test_missing_prediction_raises(synthetic_fields):
     sub = to_kaggle_dataframe(preds, t, lats, lons, OUTPUT_VARS).iloc[:-5]
     with pytest.raises(ValueError, match="missing predictions"):
         score_csv(sol, sub)
+
+
+class TestSubmissionRoundTripExact:
+    """Our vectorized writer vs the reference's quadruple-Python-loop spec
+    (utils_final.py:409-449), ID-for-ID and value-for-value on the same
+    inputs. The loop below IS the reference algorithm restated (the module
+    itself is unimportable here: hydra/lightning deps)."""
+
+    def test_ids_and_values_match_reference_loop(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from climate_tpu.eval.kaggle import save_submission
+
+        rng = np.random.default_rng(0)
+        t_n, lat_n, lon_n = 3, 4, 5
+        preds = rng.normal(280, 10, (t_n, 2, lat_n, lon_n)).astype(np.float32)
+        lats = np.linspace(-88.59, 88.59, lat_n)
+        lons = np.linspace(1.88, 358.12, lon_n)
+        var_names = ["tas", "pr"]
+
+        path = str(tmp_path / "sub.csv")
+        save_submission(preds, np.arange(t_n), lats, lons, var_names, path)
+
+        rows = []
+        for t_idx in range(t_n):
+            for var_idx, var_name in enumerate(var_names):
+                for y_idx, lat in enumerate(lats):
+                    for x_idx, lon in enumerate(lons):
+                        rows.append({
+                            "ID": f"t{t_idx:03d}_{var_name}_{lat:.2f}_{lon:.2f}",
+                            "Prediction": preds[t_idx, var_idx, y_idx, x_idx],
+                        })
+        ref_path = str(tmp_path / "ref.csv")
+        pd.DataFrame(rows).to_csv(ref_path, index=False)
+
+        # bit-for-bit: both frames serialized by the same pandas to_csv
+        assert open(path).read() == open(ref_path).read()

@@ -103,3 +103,33 @@ class TestFusedGatesPallas:
         h_pl, c_pl = fused_gates(gates, c)
         np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=2e-5, atol=2e-6)
         np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref), rtol=2e-5, atol=2e-6)
+
+
+class TestWindowGatherKernel:
+    """Pallas window-gather (ops/window_gather.py) vs the XLA path — exact
+    equality (it is a copy kernel), interpret mode on CPU."""
+
+    def test_matches_xla_gather_with_padding(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental.pallas import tpu as pltpu
+
+        from climate_tpu.data.dataset import gather_windows
+        from climate_tpu.ops.window_gather import gather_windows_pallas
+
+        data = jax.random.normal(jax.random.PRNGKey(0), (30, 48, 72, 7))
+        idx = jnp.asarray([0, 1, 2, 15, 29], jnp.int32)  # incl. left-pad cases
+        with pltpu.force_tpu_interpret_mode():
+            got = gather_windows_pallas(data, idx, 4)
+        want = gather_windows(data, idx, 4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_supported_gating(self):
+        from climate_tpu.ops.window_gather import supported
+
+        assert supported((7029, 48, 72, 7), "tpu")   # 24192 = 189*128
+        assert supported((7029, 48, 72, 9), "tpu")   # 31104 = 243*128
+        assert supported((7029, 48, 72, 5), "tpu")   # 48*72 = 27*128: any C aligns
+        assert not supported((100, 5, 5, 3), "tpu")  # 75 % 128 != 0
+        assert not supported((7029, 48, 72, 7), "cpu")

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-2 TPU jobs, serialized (one axon client at a time; each exits on its
+# own — never kill a client mid-step). Order: proven-path bf16 training run
+# first (the VERDICT item-1 deliverable), then MFU accounting, then the
+# fused-epoch bf16 compile attempt (cache population, generous budget).
+cd "$(dirname "$0")/.."
+set -x
+
+# 1. bf16 flagship e50 at the reference recipe (per-step dispatch: the bf16
+#    fused-epoch compile exceeded 45 min in round 1; per-step compiles in
+#    ~20 min and is now in the persistent cache).
+PARITY_EXTRA_OVERRIDES="training.precision=bf16 trainer.fuse_epoch=false" \
+  bash tools/tpu_when_alive.sh python tools/parity_run.py --stack jax \
+  --model unet_convlstm_attention --pipeline final --epochs 50 --seq-len 6 --tag bf16
+
+# 2. Step-time breakdown + MFU, fp32 then bf16.
+bash tools/tpu_when_alive.sh timeout 2400 python tools/step_breakdown.py --precision fp32 \
+  > tools/parity/step_breakdown_fp32.json 2>/tmp/step_breakdown_fp32.err
+bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision bf16 \
+  > tools/parity/step_breakdown_bf16.json 2>/tmp/step_breakdown_bf16.err
+
+# 3. Fused-epoch bf16 compile attempt: 3h budget, result lands in the
+#    persistent compile cache; if it completes, fused bf16 epochs become a
+#    single dispatch for every later run (incl. bench.py).
+bash tools/tpu_when_alive.sh timeout 10800 python tools/bf16_probe.py --stage epoch \
+  > /tmp/bf16_fused_compile.log 2>&1
+
+echo "ROUND2 TPU QUEUE DONE"
