@@ -148,7 +148,8 @@ def run_torch(model_name: str, pipeline: str, epochs: int, seq_len: int, out_pat
               flush=True)
 
 
-def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path: str, model_kw: dict):
+def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path: str, model_kw: dict,
+            save_preds: bool = False):
     import jax
 
     # PARITY_JAX_PLATFORM=cpu forces CPU; unset -> ambient default (axon TPU)
@@ -191,6 +192,22 @@ def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path:
     exp.validate = recording_validate
     exp.fit()
 
+    if save_preds:
+        # final-model val predictions in PHYSICAL units, for ensembling
+        # (tools/ensemble_eval.py averages these across runs/seeds)
+        import jax.numpy as jnp
+
+        from climate_tpu.train.trainer import predict_dataset
+
+        preds_norm = predict_dataset(
+            exp.step_fns, exp.state, exp.val_ds.inputs, exp.val_ds.n, exp.eval_batch_size
+        )
+        preds = np.asarray(exp._denorm_tchw(preds_norm.astype(jnp.float32)), np.float64)
+        trues = np.asarray(exp._denorm_tchw(exp.val_ds.outputs), np.float64)
+        npz = out_path.replace(".json", "_valpreds.npz")
+        np.savez_compressed(npz, preds=preds, trues=trues, lat=np.asarray(exp.lat))
+        print(f"val predictions saved to {npz}", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -201,6 +218,8 @@ def main():
     ap.add_argument("--seq-len", type=int, default=6)
     ap.add_argument("--model-kw", type=json.loads, default={})
     ap.add_argument("--tag", default="", help="suffix for the output file name")
+    ap.add_argument("--save-preds", action="store_true",
+                    help="save final val predictions (physical units) for ensembling")
     args = ap.parse_args()
 
     os.makedirs(PARITY_DIR, exist_ok=True)
@@ -209,7 +228,8 @@ def main():
     if args.stack == "torch":
         run_torch(args.model, args.pipeline, args.epochs, args.seq_len, out, args.model_kw)
     else:
-        run_jax(args.model, args.pipeline, args.epochs, args.seq_len, out, args.model_kw)
+        run_jax(args.model, args.pipeline, args.epochs, args.seq_len, out, args.model_kw,
+                save_preds=args.save_preds)
 
 
 if __name__ == "__main__":

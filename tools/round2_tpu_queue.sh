@@ -26,3 +26,29 @@ bash tools/tpu_when_alive.sh timeout 10800 python tools/bf16_probe.py --stage ep
   > /tmp/bf16_fused_compile.log 2>&1
 
 echo "ROUND2 TPU QUEUE DONE"
+
+# --- appended queue 2 (beyond-parity + kernel measurement) ---
+
+# 4. Kernel microbench: window-gather pallas vs XLA at production shapes.
+bash tools/tpu_when_alive.sh timeout 1800 python tools/kernel_bench.py \
+  > tools/parity/kernel_bench_r2.txt 2>&1
+
+# 5. Seed ensemble: 3x cnn_transformer/ensemble cosine e300 with saved val
+#    predictions (round-1 best single composite 0.60; target <0.55 ensembled).
+for SEED in 42 43 44; do
+  PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine seed=${SEED}" \
+    bash tools/tpu_when_alive.sh python tools/parity_run.py --stack jax \
+    --model cnn_transformer --pipeline ensemble --epochs 300 \
+    --tag "cos300seed${SEED}" --save-preds
+done
+python tools/ensemble_eval.py tools/parity/jax_cnn_transformer_ensemble_cos300seed*_valpreds.npz \
+  > tools/parity/ensemble_cnn_t_cos300.json 2>&1
+
+# 6. Feedback-trained flagship (data.feedback_vars): e50 demo checkpoint for
+#    the autoregressive rollout CLI.
+PARITY_EXTRA_OVERRIDES="data.feedback_vars=[tas,pr]" \
+  bash tools/tpu_when_alive.sh python tools/parity_run.py --stack jax \
+  --model unet_convlstm_attention --pipeline final --epochs 50 --seq-len 6 \
+  --tag feedback --save-preds
+
+echo "ROUND2 TPU QUEUE2 DONE"
