@@ -35,11 +35,25 @@ def measure_jax() -> float:
     from climate_tpu.train.state import build_optimizer, create_train_state
     from climate_tpu.train.trainer import StepFunctions, pad_batch
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        # Persistent compile cache: the bf16 step compiles in ~20 min cold but
+        # reloads in seconds once cached (tools/round2_tpu_queue2.sh warms it).
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/climate_tpu/xla")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     mesh = create_mesh()
     n_dev = mesh.size
     batch = ((BATCH + n_dev - 1) // n_dev) * n_dev
 
-    model = AttUNetConvLSTM(n_output_channels=2, base=16)
+    # Production precision: bf16 on TPU (validated against fp32 at the full
+    # reference recipe — PARITY.md bf16 row), fp32 elsewhere.
+    precision = os.environ.get("CLIMATE_TPU_BENCH_PRECISION", "bf16" if on_tpu else "fp32")
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    model = AttUNetConvLSTM(n_output_channels=2, base=16, dtype=dtype)
     tx = build_optimizer(5e-4)
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((batch, SEQ_LEN, 48, 72, 7), jnp.float32)

@@ -51,7 +51,11 @@ def gather_windows_pallas(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.
     n, h, w, c = data.shape
     b = idx.shape[0]
     hwc = h * w * c
-    flat = data.reshape(n, hwc)
+    # Mosaic requires the block's last two dims divisible by (8, 128) or equal
+    # to the array dims; view each frame row as (HWC/128, 128) so the (1,
+    # sublanes, 128) block covers whole array dims exactly.
+    sublanes = hwc // 128
+    flat = data.reshape(n, sublanes, 128)
 
     offsets = jnp.arange(seq_len, dtype=idx.dtype) - (seq_len - 1)  # [-T+1 .. 0]
     widx = (idx[:, None] + offsets[None, :]).reshape(-1)  # (B*T,)
@@ -62,15 +66,15 @@ def gather_windows_pallas(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.
         num_scalar_prefetch=2,
         grid=(b * seq_len,),
         in_specs=[
-            pl.BlockSpec((1, hwc), lambda i, safe, valid: (safe[i], 0),
+            pl.BlockSpec((1, sublanes, 128), lambda i, safe, valid: (safe[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hwc), lambda i, safe, valid: (i, 0),
+        out_specs=pl.BlockSpec((1, sublanes, 128), lambda i, safe, valid: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * seq_len, hwc), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * seq_len, sublanes, 128), data.dtype),
     )(safe, valid, flat)
     return out.reshape(b, seq_len, h, w, c)
