@@ -65,9 +65,15 @@ def main():
         "Sections without a tag use the reference training recipe (Adam lr 5e-4 constant,",
         "50 epochs, batch 64). Tagged sections are beyond-parity runs on this framework:",
         "(cosine) = cosine lr decay over 150 epochs, (long) = 150 epochs constant lr,",
-        "(seq12) = extended window. Composite = the Kaggle score (0.5*tas + 0.5*pr).",
-        "Headline beyond-parity results: cnn_transformer ensemble 0.60 (vs 0.88 at the",
-        "reference recipe), flagship final-pipeline 0.70 (vs 0.96).",
+        "(seq12) = extended window, (bf16) = bfloat16 compute at the reference recipe,",
+        "(feedback) = teacher-forced prev_<var> input channels for autoregressive rollout.",
+        "Composite = the Kaggle score (0.5*tas + 0.5*pr).",
+        "",
+        "Round-2 headline results: full-length torch anchors (unet e50 best 1.1748 vs",
+        "jax 1.1923 — endpoint parity, no extrapolation); bf16 flagship at the full",
+        "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
+        "0.974 vs 0.958) at higher throughput, with the Pallas window-gather kernel in",
+        "the hot path; beyond-parity: cnn_transformer ensemble 0.60, flagship 0.70.",
         "",
     ]
 
