@@ -69,8 +69,10 @@ def main():
         "(feedback) = teacher-forced prev_<var> input channels for autoregressive rollout.",
         "Composite = the Kaggle score (0.5*tas + 0.5*pr).",
         "",
-        "Round-2 headline results: full-length torch anchors (unet e50 best 1.1748 vs",
-        "jax 1.1923 — endpoint parity, no extrapolation); bf16 flagship at the full",
+        "Round-2 headline results: full-length torch anchors at the reference recipe —",
+        "cnn_transformer final composite torch 1.1348 vs jax 1.1342 (0.05% apart),",
+        "unet best torch 1.1748 vs jax 1.1923 — endpoint parity, no extrapolation;",
+        "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput, with the Pallas window-gather kernel in",
         "the hot path; beyond-parity: cnn_transformer ensemble 0.60, flagship 0.70.",
@@ -167,20 +169,24 @@ def main():
             )
         lines.append("")
 
-    # --- seed-ensemble result (tools/ensemble_eval.py) ---
-    ens = load_json("ensemble_cnn_t_cos300.json")
-    if isinstance(ens, dict) and ens.get("ensemble_composite"):
-        singles = ", ".join(
-            f"{os.path.basename(k).split('cos300')[-1].split('_valpreds')[0]}: {v:.4f}"
-            for k, v in ens.get("member_composites", {}).items()
-        )
-        lines += [
-            "## Seed ensemble (cnn_transformer, ensemble pipeline, cosine e300)",
-            "",
-            f"Mean of {ens['n_members']} members' val predictions (physical units), one run per seed:",
-            f"member composites [{singles}] -> ensemble composite **{ens['ensemble_composite']:.4f}**.",
-            "",
-        ]
+    # --- seed-ensemble results (tools/ensemble_eval.py) ---
+    for fname, title in [
+        ("ensemble_cnn_t_cos300.json", "cnn_transformer, ensemble pipeline, cosine e300"),
+        ("ensemble_flagship_cos300.json", "unet_convlstm_attention, final pipeline, cosine e300"),
+    ]:
+        ens = load_json(fname)
+        if isinstance(ens, dict) and ens.get("ensemble_composite"):
+            singles = ", ".join(
+                f"{os.path.basename(k).split('cos300')[-1].split('_valpreds')[0]}: {v:.4f}"
+                for k, v in ens.get("member_composites", {}).items()
+            )
+            lines += [
+                f"## Seed ensemble ({title})",
+                "",
+                f"Mean of {ens['n_members']} members' val predictions (physical units), one run per seed:",
+                f"member composites [{singles}] -> ensemble composite **{ens['ensemble_composite']:.4f}**.",
+                "",
+            ]
 
     with open(OUT, "w") as f:
         f.write("\n".join(lines) + "\n")

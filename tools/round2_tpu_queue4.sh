@@ -39,3 +39,11 @@ bash tools/tpu_when_alive.sh timeout 10800 python tools/bf16_probe.py --stage ep
   > /tmp/bf16_fused_compile.log 2>&1
 
 echo "ROUND2 TPU QUEUE4 DONE"
+
+# --- appended: rerun breakdowns with slice-sync timed() (full-array host
+# pulls were timing the tunnel, not the kernels; full-step numbers were valid)
+bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision fp32 \
+  > tools/parity/step_breakdown_fp32.json 2>/tmp/step_breakdown_fp32.err
+bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision bf16 \
+  > tools/parity/step_breakdown_bf16.json 2>/tmp/step_breakdown_bf16.err
+echo "ROUND2 TPU QUEUE4 APPENDED DONE"

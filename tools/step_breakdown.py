@@ -29,12 +29,18 @@ PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e11}
 def timed(fn, *args, iters=20):
     import numpy as np
 
-    out = fn(*args)
-    _ = [np.asarray(x) for x in (out if isinstance(out, tuple) else (out,))[:1]]
+    # sync via a host pull of ONE element (axon block_until_ready can ack
+    # early; pulling the full output would time the tunnel transfer, not the
+    # kernel — a (64,6,48,72,7) gather output is 33 MB)
+    def sync(out):
+        x = (out if isinstance(out, tuple) else (out,))[0]
+        np.asarray(x.ravel()[-1:])
+
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    _ = [np.asarray(x) for x in (out if isinstance(out, tuple) else (out,))[:1]]
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
