@@ -144,6 +144,14 @@ def main():
                     best[stack] = f"{stack} {c:.4f} @ e{ep}"
         if best:
             lines += [f"Best-epoch composite: {'; '.join(best.values())}", ""]
+        if "feedback" in pipeline:
+            lines += [
+                "Note: feedback training adds teacher-forced prev_<var> input channels, so",
+                "these val metrics see the *true* previous month (easier than the standard",
+                "setup); the honest closed-loop number comes from the autoregressive rollout",
+                "CLI (`python -m climate_tpu.cli.rollout rollout.feedback=true`).",
+                "",
+            ]
 
     # --- MFU / step-time breakdown (tools/step_breakdown.py on the real chip) ---
     bks = [(p, load_json(f"step_breakdown_{p}.json")) for p in ("fp32", "bf16")]
@@ -187,6 +195,22 @@ def main():
                 f"member composites [{singles}] -> ensemble composite **{ens['ensemble_composite']:.4f}**.",
                 "",
             ]
+
+    # --- closed-loop rollout demo (cli/rollout.py, feedback checkpoint) ---
+    ro = load_json("rollout_feedback_demo.json")
+    if isinstance(ro, dict) and ro.get("tas"):
+        t, p = ro["tas"], ro["pr"]
+        lines += [
+            "## Closed-loop autoregressive rollout (feedback-trained flagship)",
+            "",
+            f"`python -m climate_tpu.cli.rollout rollout.feedback=true` over {ro['months']} months",
+            f"of {ro['scenario']} forcings, predictions fed back into the prev_tas/prev_pr input",
+            "channels (slots appended after the forcings — never overwriting them). Stability:",
+            f"tas range [{t['min']:.1f}, {t['max']:.1f}] K, first-year mean {t['first_year_mean']:.2f} ->",
+            f"last-year mean {t['last_year_mean']:.2f} (+{t['last_year_mean']-t['first_year_mean']:.2f} K over 30 y of"
+            f" {ro['scenario']} — physically plausible warming, no drift blow-up); pr mean {p['mean']:.2f} mm/day.",
+            "",
+        ]
 
     with open(OUT, "w") as f:
         f.write("\n".join(lines) + "\n")
