@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--precision", default="bf16")
     args = ap.parse_args()
 
+    # Deferral hook: a running queue's probe invocation can't be edited
+    # (bash holds the script by fd), so a marker file postpones the long
+    # fused-epoch compile until higher-priority TPU jobs have run.
+    if args.stage == "epoch" and os.path.exists("/tmp/skip_bf16_epoch_probe"):
+        print('{"stage": "epoch", "skipped": "deferred via /tmp/skip_bf16_epoch_probe"}')
+        return
+
     import jax
 
     cache = os.path.expanduser("~/.cache/climate_tpu/xla")

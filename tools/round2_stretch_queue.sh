@@ -21,3 +21,10 @@ python tools/ensemble_eval.py tools/parity/jax_unet_convlstm_attention_final_cos
   > tools/parity/ensemble_flagship_cos300.json 2>/tmp/ensemble_flagship.err
 
 echo "ROUND2 STRETCH QUEUE DONE"
+
+# --- appended: deferred fused-epoch bf16 compile probe (moved behind the
+# quality runs; cache population is the least time-critical TPU job)
+rm -f /tmp/skip_bf16_epoch_probe
+bash tools/tpu_when_alive.sh timeout 10800 python tools/bf16_probe.py --stage epoch \
+  > /tmp/bf16_fused_compile.log 2>&1
+echo "DEFERRED PROBE DONE"
