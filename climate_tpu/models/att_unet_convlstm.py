@@ -25,6 +25,9 @@ class AttUNetConvLSTM(nn.Module):
     n_output_channels: int = 2
     base: int = 16
     dtype: jnp.dtype = jnp.float32
+    # cuDNN-style recurrence split (see convlstm.py): same params/checkpoints,
+    # input half of the gate conv batched over T outside the scan
+    split_lstm_conv: bool = False
 
     @nn.compact
     def __call__(self, x_seq, train: bool = False):
@@ -47,7 +50,9 @@ class AttUNetConvLSTM(nn.Module):
         # Temporal bottleneck: scan ConvLSTM over T (c_hid = base*4,
         # src/unet_convlstm_attention.py:44).
         lstm_in = s4.reshape(b, t, *s4.shape[1:]).transpose(1, 0, 2, 3, 4)
-        hs = ConvLSTM(c_hid=c * 4, dtype=self.dtype)(lstm_in)  # (T, B, H/8, W/8, 4c)
+        hs = ConvLSTM(
+            c_hid=c * 4, dtype=self.dtype, split_input_conv=self.split_lstm_conv
+        )(lstm_in)  # (T, B, H/8, W/8, 4c)
         bottleneck = hs[-1]
 
         # Time-mean skip connections (src/unet_convlstm_attention.py:91-93).

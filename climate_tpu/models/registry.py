@@ -58,7 +58,10 @@ def get_model(cfg: dict):
         return UNet(n_output_channels=n_out, base=model_cfg.get("base_channels", 16), dtype=dtype)
     if mtype == "unet_convlstm_attention":
         return AttUNetConvLSTM(
-            n_output_channels=n_out, base=model_cfg.get("base_channels", 16), dtype=dtype
+            n_output_channels=n_out,
+            base=model_cfg.get("base_channels", 16),
+            dtype=dtype,
+            split_lstm_conv=bool(model_cfg.get("split_lstm_conv", False)),
         )
     raise ValueError(f"Unknown model type: {mtype}")
 

@@ -194,3 +194,36 @@ class TestConvLSTMScan:
             return jnp.stack(outs)
 
         np.testing.assert_allclose(out, manual(x, kernel, bias), rtol=2e-5, atol=2e-6)
+
+    def test_split_input_conv_same_params_same_outputs(self, rng):
+        """split_input_conv hoists the input half of the gate conv out of the
+        scan (conv over concat == sum of convs). The param tree must be
+        byte-identical in structure (shared checkpoint format) and outputs
+        equal to float rounding."""
+        fused = ConvLSTM(c_hid=4)
+        split = ConvLSTM(c_hid=4, split_input_conv=True)
+        x = jax.random.normal(rng, (3, 2, 8, 8, 6))
+        v_fused = jinit(fused, rng, x)
+        v_split = jinit(split, rng, x)
+        assert jax.tree_util.tree_structure(v_fused) == jax.tree_util.tree_structure(v_split)
+        for a, b in zip(jax.tree.leaves(v_fused), jax.tree.leaves(v_split)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+            np.testing.assert_array_equal(a, b)  # same init draw from same rng
+
+        # fused-trained checkpoint applied through the split module
+        out_fused = japply(fused, v_fused, x)
+        out_split = japply(split, v_fused, x)
+        np.testing.assert_allclose(out_split, out_fused, rtol=2e-5, atol=2e-6)
+
+    def test_flagship_split_flag_checkpoint_compatible(self, rng):
+        """AttUNetConvLSTM(split_lstm_conv=True) shares variables with the
+        default module and produces the same forward output."""
+        from climate_tpu.models import AttUNetConvLSTM
+
+        base = AttUNetConvLSTM(n_output_channels=2, base=8)
+        fast = AttUNetConvLSTM(n_output_channels=2, base=8, split_lstm_conv=True)
+        x = jax.random.normal(rng, (2, 3, 48, 72, 7))
+        v = jinit(base, rng, x)
+        np.testing.assert_allclose(
+            japply(fast, v, x), japply(base, v, x), rtol=2e-5, atol=2e-6
+        )

@@ -50,3 +50,9 @@ echo "ROUND2 TPU QUEUE4 APPENDED DONE"
 bash tools/tpu_when_alive.sh timeout 3600 python bench.py \
   > /tmp/bench_warm2.json 2>/tmp/bench_warm2.err
 echo "BENCH RERUN DONE"
+# split-lstm full-step measurement (fp32 + bf16) — decides the dispatch default
+bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision fp32 --split-lstm \
+  > tools/parity/step_breakdown_fp32_splitlstm.json 2>/tmp/sb_fp32_split.err
+bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision bf16 --split-lstm \
+  > tools/parity/step_breakdown_bf16_splitlstm.json 2>/tmp/sb_bf16_split.err
+echo "SPLIT LSTM MEASURE DONE"

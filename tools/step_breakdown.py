@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=6)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--precision", default="fp32")
+    ap.add_argument("--split-lstm", action="store_true",
+                    help="measure with the cuDNN-style ConvLSTM recurrence split")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +72,8 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     cfg = {
-        "model": {"type": "unet_convlstm_attention", "base_channels": 16},
+        "model": {"type": "unet_convlstm_attention", "base_channels": 16,
+                  "split_lstm_conv": args.split_lstm},
         "data": {"input_vars": list("abcde"), "output_vars": ["y", "z"],
                  "seasonal_embeddings": True},
         "training": {"precision": args.precision},
@@ -90,7 +93,8 @@ def main() -> None:
     idx, mask = pad_batch(np.arange(b), b)
     idx, mask = jnp.asarray(idx), jnp.asarray(mask)
 
-    report = {"platform": platform, "precision": args.precision, "batch": b, "seq": t}
+    report = {"platform": platform, "precision": args.precision, "batch": b, "seq": t,
+              "split_lstm": args.split_lstm}
 
     # --- full train step (no donation, so it can repeat on the same state) ---
     def _full(state, idx, mask):
