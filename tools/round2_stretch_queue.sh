@@ -28,3 +28,7 @@ rm -f /tmp/skip_bf16_epoch_probe
 bash tools/tpu_when_alive.sh timeout 10800 python tools/bf16_probe.py --stage epoch \
   > /tmp/bf16_fused_compile.log 2>&1
 echo "DEFERRED PROBE DONE"
+# retry the bf16 split-lstm measure (TPU worker restart ate the first attempt)
+bash tools/tpu_when_alive.sh timeout 3600 python tools/step_breakdown.py --precision bf16 --split-lstm \
+  > tools/parity/step_breakdown_bf16_splitlstm.json 2>/tmp/sb_bf16_split.err
+echo "BF16 SPLIT RETRY DONE"
