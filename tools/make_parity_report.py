@@ -40,12 +40,23 @@ def load_runs() -> dict:
 
 
 def load_json(name):
+    """Parse an analysis artifact; tolerates tool banner lines (e.g. the
+    tpu_when_alive echo) around the JSON by falling back to the last line
+    that parses."""
     path = os.path.join(PARITY_DIR, name)
-    if os.path.exists(path):
-        try:
-            return json.load(open(path))
-        except json.JSONDecodeError:
-            return None
+    if not os.path.exists(path):
+        return None
+    text = open(path).read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        for line in reversed(text.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
     return None
 
 
