@@ -31,8 +31,11 @@ def main() -> None:
     # Deferral hook: a running queue's probe invocation can't be edited
     # (bash holds the script by fd), so a marker file postpones the long
     # fused-epoch compile until higher-priority TPU jobs have run.
-    if args.stage == "epoch" and os.path.exists("/tmp/skip_bf16_epoch_probe"):
-        print('{"stage": "epoch", "skipped": "deferred via /tmp/skip_bf16_epoch_probe"}')
+    if args.stage == "epoch" and (
+        os.path.exists("/tmp/skip_bf16_epoch_probe")
+        or os.path.exists("/tmp/skip_bf16_epoch_probe2")
+    ):
+        print('{"stage": "epoch", "skipped": "deferred via /tmp/skip_bf16_epoch_probe*"}')
         return
 
     import jax
