@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> dict:
     members = [int(data_cfg.get("target_member_id", 0))] if exp.pipeline == "baseline" else [
         int(list(data_cfg.get("member_ids", [0]))[0])
     ]
-    forc, _ = load_ssp_arrays(
+    forc, targets = load_ssp_arrays(
         group, data_cfg["test_ssp"], list(data_cfg["input_vars"]), list(data_cfg["output_vars"]),
         members, add_seasonal=bool(data_cfg.get("seasonal_embeddings", False)),
         sanitize_threshold=data_cfg.get("sanitize_threshold", 1e10),
@@ -108,7 +108,28 @@ def main(argv: list[str] | None = None) -> dict:
     csv_path = os.path.join(out_dir, f"rollout_{data_cfg['test_ssp']}_{months}m.csv")
     kaggle_io.save_submission(preds, np.arange(months), exp.lat, exp.lon, exp.output_vars, csv_path)
     log.info(f"Rollout saved: {npz_path} and {csv_path}")
-    return {"npz": npz_path, "csv": csv_path, "months": months}
+    result = {"npz": npz_path, "csv": csv_path, "months": months}
+
+    # Closed-loop scoring: composite of the LAST score_last rolled months vs
+    # the rolled scenario's own member-0 targets. For feedback checkpoints
+    # this is the honest metric — the val stream during training is
+    # teacher-forced (sees true prev months), while here every prev_<var>
+    # input is the model's own prediction. (Not byte-identical to the final
+    # pipeline's val split, which spans members 1-2 of the concatenated
+    # ssp370 stream; this scores one member's scenario end-to-end.)
+    score_last = int(roll_cfg.get("score_last", 0) or 0)
+    if score_last > 0:
+        from ..eval.metrics import kaggle_composite_score
+
+        n = min(score_last, months)
+        truth = np.asarray(targets[:months][-n:], dtype=np.float32)
+        composite = float(
+            kaggle_composite_score(preds[-n:], truth, exp.lat, list(exp.output_vars))
+        )
+        log.info(f"Closed-loop composite over the last {n} months: {composite:.4f}")
+        result["closed_loop_composite"] = composite
+        result["scored_months"] = n
+    return result
 
 
 if __name__ == "__main__":

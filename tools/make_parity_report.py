@@ -221,6 +221,21 @@ def main():
                 "",
             ]
 
+    # --- closed-loop rollout score (cli/rollout.py rollout.score_last) ---
+    cs = load_json("rollout_closed_loop_score.json")
+    if isinstance(cs, dict) and cs.get("closed_loop_composite"):
+        lines += [
+            "## Closed-loop rollout score (honest autoregressive metric)",
+            "",
+            f"`rollout.score_last` scores the rolled months against the scenario's own truth:",
+            f"feedback-trained flagship over ALL {cs['months']} months of {cs['scenario']} (85 years,",
+            f"every prev_<var> input = the model's own prediction) -> composite",
+            f"**{cs['closed_loop_composite']:.4f}** (teacher-forced val best: "
+            f"{cs['teacher_forced_val_composite_best']:.4f}; the gap is compounding autoregressive",
+            "error — reported as the honest closed-loop number; the reference has no rollout at all).",
+            "",
+        ]
+
     # --- closed-loop rollout demo (cli/rollout.py, feedback checkpoint) ---
     ro = load_json("rollout_feedback_demo.json")
     if isinstance(ro, dict) and ro.get("tas"):
