@@ -86,7 +86,9 @@ def main():
         "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput, with the Pallas window-gather kernel in",
-        "the hot path; beyond-parity: cnn_transformer ensemble 0.60, flagship 0.70.",
+        "the hot path; beyond-parity: 3-seed cnn_transformer ensemble 0.588, flagship",
+        "ensemble 0.697, feedback-trained flagship 0.6463 (teacher-forced) with a",
+        "stable 85-year closed-loop rollout scored honestly below.",
         "",
     ]
 
