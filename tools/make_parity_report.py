@@ -86,9 +86,10 @@ def main():
         "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput, with the Pallas window-gather kernel in",
-        "the hot path; beyond-parity: 3-seed cnn_transformer ensemble 0.588, flagship",
-        "ensemble 0.697, feedback-trained flagship 0.6463 (teacher-forced) with a",
-        "stable 85-year closed-loop rollout scored honestly below.",
+        "the hot path; beyond-parity: best single run 0.5803 (wide cnn_transformer,",
+        "cosine e300), 3-seed ensemble 0.588, flagship ensemble 0.697, feedback-trained",
+        "flagship 0.6463 (teacher-forced) with a stable 85-year closed-loop rollout",
+        "scored honestly below.",
         "",
     ]
 
@@ -207,6 +208,8 @@ def main():
     # --- seed-ensemble results (tools/ensemble_eval.py) ---
     for fname, title in [
         ("ensemble_cnn_t_cos300.json", "cnn_transformer, ensemble pipeline, cosine e300"),
+        ("ensemble_cnn_t_cos300w.json",
+         "3 seeds + wide(192/384) member — the wide member alone is the best single run"),
         ("ensemble_flagship_cos300.json", "unet_convlstm_attention, final pipeline, cosine e300"),
     ]:
         ens = load_json(fname)
