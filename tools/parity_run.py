@@ -114,9 +114,29 @@ def run_torch(model_name: str, pipeline: str, epochs: int, seq_len: int, out_pat
     opt = torch.optim.Adam(model.parameters(), lr=5e-4)
     crit = torch.nn.MSELoss()
 
+    # Epoch-level resume: long anchors (the flagship is ~10-30 min/epoch on
+    # this 1-core host) survive machine restarts and round boundaries. The
+    # RNG stream is torch/np state saved with the checkpoint, so a resumed
+    # run draws the same permutations it would have drawn uninterrupted.
+    ckpt_path = out_path.replace(".json", "_resume.pt")
     history = []
+    start_epoch = 0
+    if os.path.exists(ckpt_path) and os.path.exists(out_path):
+        try:
+            ck = torch.load(ckpt_path, weights_only=False)
+            model.load_state_dict(ck["model"])
+            opt.load_state_dict(ck["opt"])
+            torch.set_rng_state(ck["torch_rng"])
+            np.random.set_state(ck["np_rng"])
+            history = json.load(open(out_path))[: ck["epoch"] + 1]
+            start_epoch = ck["epoch"] + 1
+            print(f"[torch {model_name}/{pipeline}] resuming at epoch {start_epoch}", flush=True)
+        except Exception as e:  # corrupt checkpoint -> start over
+            print(f"[torch {model_name}/{pipeline}] resume failed ({e}); restarting", flush=True)
+            history, start_epoch = [], 0
+
     n = len(xtr)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         model.train()
         perm = np.random.permutation(n)
@@ -143,6 +163,11 @@ def run_torch(model_name: str, pipeline: str, epochs: int, seq_len: int, out_pat
         history.append(m)
         with open(out_path, "w") as f:
             json.dump(history, f, indent=1)
+        torch.save(
+            {"model": model.state_dict(), "opt": opt.state_dict(), "epoch": epoch,
+             "torch_rng": torch.get_rng_state(), "np_rng": np.random.get_state()},
+            ckpt_path,
+        )
         print(f"[torch {model_name}/{pipeline}] epoch {epoch}: train {m['train_loss']:.4f} "
               f"val {m['val/loss']:.4f} comp {m['val/kaggle_score']:.4f} ({m['epoch_seconds']:.0f}s)",
               flush=True)
