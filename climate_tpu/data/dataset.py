@@ -66,21 +66,19 @@ def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
     window t covers [idx-T+1, ..., idx]; positions before t=0 are zeros
     (reference main_final.py:123-145).
 
-    Dispatch: on TPU with lane-aligned rows AND seq_len >= 8 the Pallas
-    row-DMA kernel (ops/window_gather.py) assembles the batch — measured
-    1.67x over XLA at the seq12 production shape but slower at seq6, where
-    XLA's gather amortizes better (tools/parity/kernel_bench_r2.txt).
-    Override with CLIMATE_TPU_WINDOW_GATHER=xla|pallas.
+    Dispatch: XLA take+mask everywhere by default. The Pallas row-DMA kernel
+    (ops/window_gather.py) wins 1.67x as a STANDALONE program at seq12
+    (tools/parity/kernel_bench_r2.txt) but measures ~7% slower inside the
+    full fused training step (seq12 e50 run: 2174 vs 2341 samples/s) — XLA
+    fuses its gather into the surrounding step, the kernel can't. Honest
+    dispatch keeps XLA; force the kernel with CLIMATE_TPU_WINDOW_GATHER=pallas.
     """
     import os
 
-    mode = os.environ.get("CLIMATE_TPU_WINDOW_GATHER", "auto")
-    if mode != "xla":
-        from ..ops.window_gather import gather_windows_pallas, supported
+    if os.environ.get("CLIMATE_TPU_WINDOW_GATHER") == "pallas":
+        from ..ops.window_gather import gather_windows_pallas
 
-        platform = jax.devices()[0].platform
-        if mode == "pallas" or (seq_len >= 8 and supported(data.shape, platform)):
-            return gather_windows_pallas(data, idx, seq_len)
+        return gather_windows_pallas(data, idx, seq_len)
     offsets = jnp.arange(seq_len, dtype=idx.dtype) - (seq_len - 1)  # [-T+1 .. 0]
     widx = idx[:, None] + offsets[None, :]  # (B, T)
     valid = widx >= 0

@@ -15,10 +15,12 @@ fallback (and the CPU/test path). Gradients never flow into the dataset
 (only params are differentiated), so no custom VJP is needed.
 
 Measured on one v5e (tools/parity/kernel_bench_r2.txt): 1.67x over the XLA
-gather at the seq12 production shape (B=64 T=12), slower at seq6 where XLA's
-single fused gather amortizes better — the dataset-level dispatch
-(data/dataset.py::gather_windows) therefore routes to this kernel only for
-seq_len >= 8.
+gather at the seq12 production shape (B=64 T=12) as a STANDALONE program,
+slower at seq6. In-situ, inside the full fused training step, the kernel is
+~7% slower even at seq12 (2174 vs 2341 samples/s over a full e50 run) — XLA
+fuses its gather with the surrounding step while a pallas_call is a fusion
+barrier. The dataset-level dispatch therefore defaults to XLA at every
+seq_len; set CLIMATE_TPU_WINDOW_GATHER=pallas to force the kernel.
 """
 
 from __future__ import annotations

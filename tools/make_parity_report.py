@@ -85,8 +85,7 @@ def main():
         "unet best torch 1.1748 vs jax 1.1923 — endpoint parity, no extrapolation;",
         "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
-        "0.974 vs 0.958) at higher throughput, with the Pallas window-gather kernel in",
-        "the hot path; beyond-parity: best single run 0.5803 (wide cnn_transformer,",
+        "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803 (wide cnn_transformer,",
         "cosine e300), 3-seed ensemble 0.588, flagship ensemble 0.697, feedback-trained",
         "flagship 0.6463 (teacher-forced) with a stable 85-year closed-loop rollout",
         "scored honestly below.",
