@@ -85,10 +85,11 @@ def main():
         "unet best torch 1.1748 vs jax 1.1923 — endpoint parity, no extrapolation;",
         "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
-        "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803 (wide cnn_transformer,",
-        "cosine e300), 3-seed ensemble 0.588, flagship ensemble 0.697, feedback-trained",
-        "flagship 0.6463 (teacher-forced) with a stable 85-year closed-loop rollout",
-        "scored honestly below.",
+        "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803",
+        "final / 0.5736 best-epoch (wide cnn_transformer, cosine e300), 5-member",
+        "ensemble 0.582, flagship ensemble 0.697, feedback-trained flagship 0.6463",
+        "(teacher-forced) with a stable 85-year closed-loop rollout scored honestly",
+        "below.",
         "",
     ]
 
@@ -208,7 +209,10 @@ def main():
     for fname, title in [
         ("ensemble_cnn_t_cos300.json", "cnn_transformer, ensemble pipeline, cosine e300"),
         ("ensemble_cnn_t_cos300w.json",
-         "3 seeds + wide(192/384) member — the wide member alone is the best single run"),
+         "3 seeds + wide 192/384 + wide 256/512 — the wide members alone are the best"
+         " single runs (0.5803 final / 0.5736 best-epoch); mean-ensembling plateaus"
+         " at ~0.58 because member errors are correlated and averaging shrinks the"
+         " variability the time-stddev term scores"),
         ("ensemble_flagship_cos300.json", "unet_convlstm_attention, final pipeline, cosine e300"),
     ]:
         ens = load_json(fname)
