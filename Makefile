@@ -1,9 +1,14 @@
 # Live targets only (the reference Makefile carried dead boilerplate —
 # SURVEY.md 2.5; everything here runs).
 
-.PHONY: test quality style native bench clean
+.PHONY: test test-all quality style native bench clean
 
+# Fast default (<10 min on this host): skips `slow`-marked compile/ETL-heavy
+# tests. CI-equivalent full run: `make test-all` (~30-55 min on 1 core).
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -x -q
 
 native:

@@ -76,9 +76,20 @@ def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
     import os
 
     if os.environ.get("CLIMATE_TPU_WINDOW_GATHER") == "pallas":
-        from ..ops.window_gather import gather_windows_pallas
+        from ..ops.window_gather import gather_windows_pallas, supported
 
-        return gather_windows_pallas(data, idx, seq_len)
+        platform = jax.default_backend()
+        if supported(data.shape, platform):
+            return gather_windows_pallas(data, idx, seq_len)
+        # forced kernel on an ineligible shape/platform: fall back loudly
+        # rather than fail in Mosaic with an opaque reshape error (ADVICE r2)
+        import warnings
+
+        warnings.warn(
+            f"CLIMATE_TPU_WINDOW_GATHER=pallas but shape {tuple(data.shape)} on "
+            f"{platform} is unsupported (needs TPU + H*W*C % 128 == 0); using XLA",
+            stacklevel=2,
+        )
     offsets = jnp.arange(seq_len, dtype=idx.dtype) - (seq_len - 1)  # [-T+1 .. 0]
     widx = idx[:, None] + offsets[None, :]  # (B, T)
     valid = widx >= 0

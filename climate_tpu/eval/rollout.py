@@ -37,6 +37,7 @@ def rollout(
     seq_len: int,
     *,
     feedback_slots: dict[int, int] | None = None,
+    init_history: jnp.ndarray | None = None,
 ):
     """Predict every month of a scenario with one compiled scan.
 
@@ -51,6 +52,14 @@ def rollout(
       feedback_slots: {output_channel: input_channel} — input channel receives
         the previous month's prediction for that output channel. None/{} =
         pure forced run (prev channels, if any, keep their stored values).
+      init_history: optional (seq_len, H, W, C_out) normalized outputs for the
+        months *before* the horizon start, seeding the feedback buffer. Two
+        uses: (a) seed row [-1] with the true month-0 outputs to reproduce the
+        training-time clamp prev[0]=out[0] (ETL: "a physical value, not an
+        unphysical zero"); (b) start a rollout mid-scenario (e.g. the val
+        window) with true outputs of the preceding months. Default zeros =
+        the z-space mean — a train/inference mismatch at the horizon start
+        that only matters for the first seq_len months (ADVICE round 2).
 
     Returns:
       (T_total, H, W, C_out) normalized predictions.
@@ -83,17 +92,31 @@ def rollout(
         new_hist = jnp.concatenate([preds_hist[1:], pred[None]], axis=0)
         return new_hist, pred
 
-    init = jnp.zeros((seq_len, h, w, c_out), c_out_probe.dtype)
+    if init_history is None:
+        init = jnp.zeros((seq_len, h, w, c_out), c_out_probe.dtype)
+    else:
+        init = jnp.asarray(init_history, c_out_probe.dtype)
+        if init.shape != (seq_len, h, w, c_out):
+            raise ValueError(
+                f"init_history shape {init.shape} != {(seq_len, h, w, c_out)}"
+            )
     _, preds = jax.lax.scan(step, init, jnp.arange(t_total))
     return preds
 
 
-def rollout_jit(apply_fn, seq_len: int, feedback_slots: dict[int, int] | None = None):
-    """jit-wrapped rollout with static window config."""
+def rollout_jit(apply_fn, seq_len: int, feedback_slots: dict[int, int] | None = None,
+                with_history: bool = False):
+    """jit-wrapped rollout with static window config. with_history adds an
+    init_history positional arg (seed the feedback buffer, see rollout())."""
     slots = tuple(sorted((feedback_slots or {}).items()))
 
-    def run(variables, forcings):
-        return rollout(apply_fn, variables, forcings, seq_len, feedback_slots=dict(slots))
+    if with_history:
+        def run(variables, forcings, init_history):
+            return rollout(apply_fn, variables, forcings, seq_len,
+                           feedback_slots=dict(slots), init_history=init_history)
+    else:
+        def run(variables, forcings):
+            return rollout(apply_fn, variables, forcings, seq_len, feedback_slots=dict(slots))
 
     return jax.jit(run)
 

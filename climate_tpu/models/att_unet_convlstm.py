@@ -28,6 +28,8 @@ class AttUNetConvLSTM(nn.Module):
     # cuDNN-style recurrence split (see convlstm.py): same params/checkpoints,
     # input half of the gate conv batched over T outside the scan
     split_lstm_conv: bool = False
+    # whole-T fused Pallas recurrence (ops/convlstm_fused.py); same checkpoints
+    fused_lstm: bool = False
 
     @nn.compact
     def __call__(self, x_seq, train: bool = False):
@@ -51,7 +53,8 @@ class AttUNetConvLSTM(nn.Module):
         # src/unet_convlstm_attention.py:44).
         lstm_in = s4.reshape(b, t, *s4.shape[1:]).transpose(1, 0, 2, 3, 4)
         hs = ConvLSTM(
-            c_hid=c * 4, dtype=self.dtype, split_input_conv=self.split_lstm_conv
+            c_hid=c * 4, dtype=self.dtype, split_input_conv=self.split_lstm_conv,
+            fused_recurrence=self.fused_lstm,
         )(lstm_in)  # (T, B, H/8, W/8, 4c)
         bottleneck = hs[-1]
 

@@ -77,16 +77,40 @@ class _CellParams(nn.Module):
 
 class ConvLSTM(nn.Module):
     """Scan the cell over a (T, B, H, W, C) sequence; returns all hidden
-    states stacked (T, B, H, W, c_hid), like src/convlstm.py:21-35."""
+    states stacked (T, B, H, W, c_hid), like src/convlstm.py:21-35.
+
+    Recurrence dispatch: `fused_recurrence=True` (or env
+    CLIMATE_TPU_CONVLSTM=fused) routes the sequential half through the
+    whole-T Pallas kernel (ops/convlstm_fused.py) — state and recurrent
+    weights stay VMEM-resident across months. Env =scan forces the lax.scan
+    path. Either way the checkpoint format is the scanned cell's."""
 
     c_hid: int
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
     split_input_conv: bool = False
+    fused_recurrence: bool = False
+
+    def _use_fused(self, h: int, w: int) -> bool:
+        import os
+
+        from ..ops import convlstm_fused
+
+        env = os.environ.get("CLIMATE_TPU_CONVLSTM", "")
+        if env == "scan":
+            return False
+        want = self.fused_recurrence or env == "fused"
+        return (
+            want
+            and self.kernel_size == 3
+            and convlstm_fused.supported(0, h, w, self.c_hid, jax.default_backend())
+        )
 
     @nn.compact
     def __call__(self, x_seq):
         t, b, h, w, c_in = x_seq.shape
+        if self._use_fused(h, w):
+            return self._split_forward(x_seq, fused=True)
         if self.split_input_conv:
             return self._split_forward(x_seq)
         init = (
@@ -103,7 +127,7 @@ class ConvLSTM(nn.Module):
         _, hs = scan(self.c_hid, self.kernel_size, dtype=self.dtype, name="cell")(init, x_seq)
         return hs
 
-    def _split_forward(self, x_seq):
+    def _split_forward(self, x_seq, fused: bool = False):
         t, b, h, w, c_in = x_seq.shape
         k = self.kernel_size
         kernel, bias = _CellParams(c_in, self.c_hid, k, name="cell")()
@@ -119,6 +143,11 @@ class ConvLSTM(nn.Module):
             dimension_numbers=dn,
         )
         xg = (xg + bias.astype(self.dtype)).reshape(t, b, h, w, 4 * self.c_hid)
+
+        if fused:
+            from ..ops.convlstm_fused import convlstm_recurrence
+
+            return convlstm_recurrence(xg, kh).astype(x_seq.dtype)
 
         def step(carry, xg_t):
             h_prev, c_prev = carry

@@ -62,6 +62,7 @@ def get_model(cfg: dict):
             base=model_cfg.get("base_channels", 16),
             dtype=dtype,
             split_lstm_conv=bool(model_cfg.get("split_lstm_conv", False)),
+            fused_lstm=bool(model_cfg.get("fused_lstm", False)),
         )
     raise ValueError(f"Unknown model type: {mtype}")
 

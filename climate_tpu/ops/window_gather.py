@@ -59,6 +59,11 @@ def gather_windows_pallas(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.
     n, h, w, c = data.shape
     b = idx.shape[0]
     hwc = h * w * c
+    if hwc % 128 != 0:  # clear error instead of an opaque Mosaic failure
+        raise ValueError(
+            f"gather_windows_pallas needs lane-aligned rows (H*W*C % 128 == 0); "
+            f"got H*W*C = {h}*{w}*{c} = {hwc} (see supported())"
+        )
     # Mosaic requires the block's last two dims divisible by (8, 128) or equal
     # to the array dims; view each frame row as (HWC/128, 128) so the (1,
     # sublanes, 128) block covers whole array dims exactly.

@@ -54,8 +54,6 @@ class Predictor:
         """Restore weights + normalizer stats (saved in the checkpoint meta —
         no dataset access needed, unlike the reference which must recompute
         stats from data on every restore)."""
-        import orbax.checkpoint as ocp
-
         meta_path = ckpt_path.rstrip("/") + "." + META_FILE
         if not os.path.exists(meta_path):
             raise FileNotFoundError(f"checkpoint meta not found: {meta_path}")
@@ -101,10 +99,12 @@ class Predictor:
         else:
             example = jnp.zeros((1, 48, 72, n_in), jnp.float32)
         # checkpoints store the full TrainState; restore just the variables
+        # (restore_state migrates round-1 constant-schedule opt_state layouts)
+        from .train.checkpoint import restore_state
         from .train.state import build_optimizer, create_train_state
 
         state_template = create_train_state(model, jax.random.PRNGKey(0), example, build_optimizer(1e-3))
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path), state_template)
+        restored = restore_state(ckpt_path, state_template)
         return cls(model, restored.variables(), input_stats, output_stats, seq_len=seq,
                    input_var_names=channel_names, output_var_names=output_vars)
 

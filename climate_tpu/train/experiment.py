@@ -195,7 +195,17 @@ class Experiment:
             monitor=ckpt_cfg.get("monitor", "val/loss"),
             mode=ckpt_cfg.get("mode", "min"),
             save_last=bool(ckpt_cfg.get("save_last", True)),
+            save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
         )
+        if trainer_cfg.get("deterministic"):
+            # Lightning's flag forces cudnn-deterministic kernels; JAX runs are
+            # deterministic by construction (explicit PRNG threading, no
+            # atomics in our ops) — record that the request is honored.
+            log.info(
+                "trainer.deterministic=true: runs are deterministic by construction "
+                "(explicit jax.random key threading; fused-epoch dropout folds from "
+                "state.step). Rerunning a config bit-reproduces it."
+            )
         # --- jitted whole-split metric programs (one device sync per epoch;
         # the reference syncs per step, SURVEY.md 2.6.7) ---
         repl = replicated(self.mesh)
@@ -293,6 +303,22 @@ class Experiment:
         drop_rng = jax.random.PRNGKey(self.seed + 1)
 
         fuse_epoch = bool(cfg_tr.get("fuse_epoch", True))
+
+        # Lightning parity: num_sanity_val_steps runs N val batches before
+        # training to fail fast on eval-path bugs (trainer/default.yaml:7;
+        # reference ships 0). Predictions are discarded, like Lightning.
+        sanity_steps = int(cfg_tr.get("num_sanity_val_steps", 0) or 0)
+        if sanity_steps > 0 and self.start_epoch == 0:
+            n_sanity = min(sanity_steps * self.eval_batch_size, self.val_ds.n)
+            preds = predict_dataset(
+                self.step_fns, self.state, self.val_ds.inputs, n_sanity, self.eval_batch_size
+            )
+            if not bool(np.isfinite(np.asarray(preds)).all()):
+                raise FloatingPointError(
+                    f"sanity check: non-finite predictions in the first "
+                    f"{sanity_steps} val batches"
+                )
+            log.info(f"sanity check passed ({sanity_steps} val batches)")
 
         last_val: dict = {}
         with profile_trace(os.path.join(self.run_dir, "profile"), enabled=bool(cfg_tr.get("profile"))):

@@ -58,6 +58,55 @@ def main() -> None:
     result["global_sum"] = float(total)
     result["expected_sum"] = float(np.arange(n * 4, dtype=np.float32).sum())
 
+    # cross-process TRAIN STEP (VERDICT r2 item 5): run the real
+    # StepFunctions.train_step over the process-spanning mesh — batch rows
+    # sharded across processes, params replicated, gradient all-reduce
+    # crossing the process boundary — and export the updated params so the
+    # parent can assert they match a single-process run on the same global
+    # batch. This closes the gradient-correctness gap the reference's latent
+    # Lightning DDP also never closed (SURVEY.md 2.7).
+    from climate_tpu.models import UNet
+    from climate_tpu.train.state import build_optimizer, create_train_state
+    from climate_tpu.train.trainer import StepFunctions
+
+    model = UNet(n_output_channels=2, base=8)
+    tx = build_optimizer(1e-3)
+    batch = n * 2  # 2 rows per device
+    x_ex = jnp.zeros((batch, 48, 72, 5), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x_ex, tx)
+    fns = StepFunctions.build(model, tx, mesh, seq_len=None, has_batch_stats=False)
+
+    rng_np = np.random.default_rng(123)  # same stream in every process
+    data_x = rng_np.normal(size=(16, 48, 72, 5)).astype(np.float32)
+    data_y = rng_np.normal(size=(16, 48, 72, 2)).astype(np.float32)
+    idx = np.arange(batch, dtype=np.int32) % 16
+    mask = np.ones(batch, np.float32)
+
+    repl = NamedSharding(mesh, P())
+    shard_b = NamedSharding(mesh, P("data"))
+
+    def g_repl(arr):
+        arr = np.asarray(arr)
+        return jax.make_array_from_process_local_data(repl, arr, arr.shape)
+
+    def g_shard(arr):
+        per_proc = arr.shape[0] // jax.process_count()
+        lo = jax.process_index() * per_proc
+        return jax.make_array_from_process_local_data(
+            shard_b, arr[lo : lo + per_proc], arr.shape
+        )
+
+    g_state = jax.tree.map(g_repl, state)
+    new_state, loss = fns.train_step(
+        g_state, g_repl(data_x), g_repl(data_y), g_shard(idx), g_shard(mask),
+        g_repl(np.asarray(jax.random.PRNGKey(7))),
+    )
+    result["train_loss"] = float(loss)
+    if jax.process_index() == 0:
+        leaves = jax.tree_util.tree_leaves_with_path(new_state.params)
+        np.savez(out_path + ".params.npz",
+                 **{jax.tree_util.keystr(k): np.asarray(v) for k, v in leaves})
+
     with open(out_path, "w") as f:
         json.dump(result, f)
 

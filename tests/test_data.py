@@ -56,6 +56,7 @@ class TestZarrReader:
 
 
 @requires_data
+@pytest.mark.slow  # full-store ETL on 1 core: minutes per split build
 class TestETL:
     def test_month_index_noleap_exact(self, zarr_group):
         from climate_tpu.data.etl import month_index
@@ -177,6 +178,7 @@ class TestNonConsolidatedStore:
 
 
 @requires_data
+@pytest.mark.slow  # ensemble-pipeline ETL fixture: minutes on 1 core
 class TestFeedbackChannels:
     """data.feedback_vars: teacher-forced prev_<var> input channels (round-2
     rollout-feedback redesign)."""

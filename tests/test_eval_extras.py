@@ -112,6 +112,7 @@ class TestPlots:
         assert all(os.path.exists(p) for p in wpaths)
 
 
+@pytest.mark.slow  # two full UNet train-step compiles (fp32 + bf16)
 class TestBf16Policy:
     def test_bf16_model_trains_and_evals_close_to_fp32(self):
         from climate_tpu.models import UNet

@@ -46,13 +46,10 @@ def bench_window_gather():
     for n, b, t, c in [(7029, 64, 6, 7), (7029, 64, 12, 7), (7029, 64, 6, 9)]:
         data = jax.random.normal(jax.random.PRNGKey(0), (n, 48, 72, c))
         idx = jax.random.randint(jax.random.PRNGKey(1), (b,), 0, n, jnp.int32)
-        # force the XLA path at trace time (gather_windows auto-dispatches to
-        # pallas on TPU for supported shapes — without this both sides would
-        # measure the same kernel)
-        os.environ["CLIMATE_TPU_WINDOW_GATHER"] = "xla"
+        # gather_windows defaults to XLA everywhere (the kernel is opt-in via
+        # CLIMATE_TPU_WINDOW_GATHER=pallas); measure both paths directly.
         xla = jax.jit(lambda d, i: gather_windows(d, i, t))
         t_xla = timeit(xla, data, idx)
-        os.environ["CLIMATE_TPU_WINDOW_GATHER"] = "auto"
         line = f"window_gather N={n} B={b} T={t} C={c}: xla {t_xla:.1f}us"
         if supported(data.shape, platform):
             pal = lambda d, i: gather_windows_pallas(d, i, t)
