@@ -19,7 +19,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-BATCH = 64
+BATCH = int(os.environ.get("CLIMATE_TPU_BENCH_BATCH", "64"))  # 64 = reference parity;
+# 256-512 = large-batch throughput mode (PARITY.md MFU table) — the chip's
+# sustainable rate when not latency-bound by the reference's tiny batch.
 SEQ_LEN = 6
 WARMUP = 5
 STEPS = 50

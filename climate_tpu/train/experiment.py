@@ -243,8 +243,26 @@ class Experiment:
 
         # step functions close over the (possibly resume-adjusted) optimizer,
         # so they are built only after any checkpoint restore above.
+        # training.self_force_weight > 0 (feedback models only) turns on the
+        # 2-step rollout loss: the model consumes its OWN t-1 prediction in
+        # frame t's prev channels (trainer.py self_force_loss_fn).
+        sf_weight = float(self.cfg.get("training", {}).get("self_force_weight", 0.0) or 0.0)
+        sf_slots = None
+        if sf_weight > 0.0:
+            from ..eval.rollout import feedback_slots_from_names
+
+            sf_slots = feedback_slots_from_names(
+                list(self.bundle.input_vars), list(self.output_vars)
+            )
+            if not sf_slots:
+                raise ValueError(
+                    "training.self_force_weight requires data.feedback_vars "
+                    "(prev_* input channels) — this model has none"
+                )
+            log.info(f"Self-forcing 2-step rollout loss on (weight={sf_weight}, slots={sf_slots})")
         self.step_fns = StepFunctions.build(
-            self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs
+            self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs,
+            self_force_slots=sf_slots, self_force_weight=sf_weight,
         )
 
         self.timer = StepTimer()

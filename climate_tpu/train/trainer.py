@@ -51,8 +51,20 @@ class StepFunctions:
 
     @staticmethod
     def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
-              has_batch_stats: bool):
-        """seq_len=None -> single-frame models; else sliding-window gather."""
+              has_batch_stats: bool,
+              self_force_slots: dict[int, int] | None = None,
+              self_force_weight: float = 0.5):
+        """seq_len=None -> single-frame models; else sliding-window gather.
+
+        self_force_slots ({output_channel: prev input_channel}, feedback
+        models only): enables the 2-step rollout loss — the model first
+        predicts month t-1 from its teacher-forced window, that prediction
+        overwrites the prev_<var> channels of frame t's window (the frame
+        the 1-step rollout would corrupt first), and the main loss is taken
+        on month t with gradients flowing through BOTH forwards. This trains
+        the model to consume its own outputs, attacking the teacher-forced
+        vs closed-loop gap (VERDICT r2 weak #3); the reference has no
+        analogue (its val loop is fully teacher-forced)."""
 
         def gather(x_all, idx):
             if seq_len is None:
@@ -80,12 +92,45 @@ class StepFunctions:
             pred, new_bs = forward(params, batch_stats, x, rng, train=True)
             return masked_mse(pred, y, mask), new_bs
 
-        def _step_body(state, x_all, y_all, idx, mask, rng):
+        sf_slots = tuple(sorted((self_force_slots or {}).items()))
+        if sf_slots and seq_len is None:
+            raise ValueError("self_force_slots requires a sequence model (seq_len)")
+
+        def self_force_loss_fn(params, batch_stats, x_all, y_all, idx, mask, rng):
+            idx_prev = jnp.maximum(idx - 1, 0)
+            # step 1: predict month t-1 from its (teacher-forced) window
+            x_prev = gather(x_all, idx_prev)
+            rng_prev = jax.random.fold_in(rng, 1)
+            pred_prev, bs1 = forward(params, batch_stats, x_prev, rng_prev, train=True)
+            # step 2: month t's window, its last frame's prev channels
+            # replaced by the model's OWN t-1 prediction (frames before t
+            # keep teacher forcing — a 1-step scheduled-sampling hybrid)
             x = gather(x_all, idx)
+            for out_c, in_c in sf_slots:
+                x = x.at[:, -1, :, :, in_c].set(pred_prev[..., out_c].astype(x.dtype))
+            pred, new_bs = forward(params, bs1, x, rng, train=True)
             y = gather_frames(y_all, idx)
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, x, y, mask, rng
+            y_prev = gather_frames(y_all, idx_prev)
+            aux_mask = mask * (idx > 0).astype(mask.dtype)  # no real t-1 at 0
+            loss = masked_mse(pred, y, mask) + self_force_weight * masked_mse(
+                pred_prev, y_prev, aux_mask
             )
+            return loss, new_bs
+
+        def _step_body(state, x_all, y_all, idx, mask, rng):
+            if sf_slots:
+                (loss, new_bs), grads = jax.value_and_grad(
+                    self_force_loss_fn, has_aux=True
+                )(state.params, state.batch_stats, x_all, y_all, idx, mask, rng)
+            else:
+                x = gather(x_all, idx)
+                y = gather_frames(y_all, idx)
+                (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, x, y, mask, rng
+                )
+            return _finish_step(state, loss, new_bs, grads)
+
+        def _finish_step(state, loss, new_bs, grads):
             # gradient observability (the reference's wandb.watch gradient
             # stream, utils_baseline.py:122 — here a cheap on-device norm)
             gnorm = optax.global_norm(grads)

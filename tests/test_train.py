@@ -139,6 +139,41 @@ class TestSequenceTrainStep:
         assert np.isfinite(float(loss))
 
 
+class TestSelfForcing:
+    def test_self_force_step_runs_and_differs(self, mesh8):
+        """2-step rollout loss (training.self_force_weight): step runs, loss
+        is finite, and differs from the teacher-forced step (the model's own
+        t-1 prediction replaces frame t's prev channels)."""
+        rng = jax.random.PRNGKey(0)
+        model = AttUNetConvLSTM(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        x_ex = jnp.zeros((8, 3, 48, 72, 7))  # 5 forcings + prev_tas + prev_pr
+        data_x = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 7)))
+        data_y = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2)))
+        idx, mask = pad_batch(np.asarray([0, 1, 5, 19]), 8)
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+
+        losses = {}
+        for name, slots in [("teacher", None), ("self_force", {0: 5, 1: 6})]:
+            state = replicate(mesh8, create_train_state(model, rng, x_ex, tx))
+            fns = StepFunctions.build(
+                model, tx, mesh8, seq_len=3, has_batch_stats=False,
+                self_force_slots=slots, self_force_weight=0.5,
+            )
+            _, loss = fns.train_step(state, data_x, data_y, idx, mask, rng)
+            losses[name] = float(loss)
+        assert np.isfinite(losses["self_force"])
+        assert losses["self_force"] != pytest.approx(losses["teacher"], rel=1e-6)
+
+    def test_self_force_requires_sequence_model(self, mesh8):
+        model = UNet(n_output_channels=2, base=8)
+        with pytest.raises(ValueError, match="sequence model"):
+            StepFunctions.build(
+                model, build_optimizer(1e-3), mesh8, seq_len=None,
+                has_batch_stats=False, self_force_slots={0: 5},
+            )
+
+
 class TestOptimizerParity:
     def test_adam_matches_torch_semantics(self):
         """torch.optim.Adam with weight_decay folds wd*p into the gradient

@@ -70,7 +70,9 @@ def main():
         "(Adam lr=5e-4, verified step-for-step against torch: tests/test_train.py), batch 64 shuffled.",
         "Torch = reference-equivalent mirrors (tools/torch_mirrors.py) on this host's CPU — the",
         "reference stack itself is not installed here and publishes no numbers (BASELINE.md);",
-        "torch runs are epoch-bounded because full length is infeasible on the 1-core host.",
+        "cnn_transformer, unet, and the flagship have FULL 50-epoch torch anchors; SimpleCNN",
+        "is epoch-bounded (11,010 s/epoch on the 1-core host = 6.4 days for 50 epochs; the",
+        "resumable run accumulates across rounds).",
         "JAX runs = this framework on one TPU v5e chip. Lower is better everywhere.",
         "",
         "Sections without a tag use the reference training recipe (Adam lr 5e-4 constant,",
@@ -80,9 +82,11 @@ def main():
         "(feedback) = teacher-forced prev_<var> input channels for autoregressive rollout.",
         "Composite = the Kaggle score (0.5*tas + 0.5*pr).",
         "",
-        "Round-2 headline results: full-length torch anchors at the reference recipe —",
+        "Headline parity results: full-length torch anchors at the reference recipe —",
         "cnn_transformer final composite torch 1.1348 vs jax 1.1342 (0.05% apart),",
-        "unet best torch 1.1748 vs jax 1.1923 — endpoint parity, no extrapolation;",
+        "unet best torch 1.1748 vs jax 1.1923, and the FLAGSHIP (round 3): torch",
+        "best 0.8993 @ e45 / final 0.9244 vs jax best 0.8700 @ e47 / final 0.9581 —",
+        "endpoint parity on all three, no extrapolation;",
         "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803",
