@@ -85,13 +85,31 @@ def main(argv: list[str] | None = None) -> dict:
 
     seq_len = exp.seq_len or int(data_cfg.get("seq_len", 1))
     variables = exp.state.variables()
+    # seed_history reproduces the training-time clamp prev[0]=out[0] (ETL
+    # stores the true month-0 output, not a zero, in frame 0's prev channel)
+    # by placing the normalized true month-0 outputs in the last history row.
+    seed_history = bool(roll_cfg.get("seed_history", False))
     run = rollout_jit(
         lambda vv, x: exp.model.apply(vv, x),
         seq_len=seq_len,
         feedback_slots=slots if feedback else None,
+        with_history=seed_history,
     )
-    log.info(f"Rolling out {months} months (seq_len={seq_len}, feedback={feedback}, slots={slots})...")
-    preds_norm = run(variables, forc_nhwc)  # (T, H, W, C_out), normalized
+
+    def history_from_month0(targ_physical):
+        h0 = np.zeros((seq_len, len(exp.lat), len(exp.lon), len(exp.output_vars)), np.float32)
+        t0_norm = tf.normalize(
+            np.asarray(targ_physical[:1], np.float64), exp.output_stats
+        ).astype(np.float32)  # (1, C, H, W)
+        h0[-1] = np.moveaxis(t0_norm[0], 0, -1)
+        return jnp.asarray(h0)
+
+    log.info(f"Rolling out {months} months (seq_len={seq_len}, feedback={feedback}, "
+             f"slots={slots}, seed_history={seed_history})...")
+    if seed_history:
+        preds_norm = run(variables, forc_nhwc, history_from_month0(targets))
+    else:
+        preds_norm = run(variables, forc_nhwc)  # (T, H, W, C_out), normalized
     preds = tf.inverse_transform(
         jnp.transpose(preds_norm, (0, 3, 1, 2)).astype(jnp.float32), exp.output_stats
     )
@@ -129,7 +147,77 @@ def main(argv: list[str] | None = None) -> dict:
         log.info(f"Closed-loop composite over the last {n} months: {composite:.4f}")
         result["closed_loop_composite"] = composite
         result["scored_months"] = n
+
+    # Val-window closed-loop (VERDICT r2 Missing #3): score a full-feedback
+    # rollout over EXACTLY the training val rows, so the number is directly
+    # comparable to the teacher-forced val composite the trainer logs. The
+    # final/ensemble val split is the last val_months of the member-on-time
+    # ssp370 concat (etl.py: m1 tail + all of m2 at the shipped 1080), so we
+    # roll each covered member's scenario independently from month 0 (no
+    # cross-member windows — cleaner than training's documented boundary
+    # quirk) and assemble the val rows from the rolled streams.
+    if bool(roll_cfg.get("val_window", False)):
+        composite = _score_val_window_closed_loop(
+            cfg, exp, group, slots, seq_len, run, roll_cfg, log
+        )
+        log.info(f"Val-window closed-loop composite: {composite:.4f} "
+                 f"(teacher-forced val composite is in the training logs/PARITY.md)")
+        result["val_window_closed_loop_composite"] = composite
     return result
+
+
+def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg, log):
+    import jax.numpy as jnp
+
+    from ..data.etl import load_ssp_arrays
+    from ..eval.metrics import kaggle_composite_score
+    from ..transforms import normalize as tf
+
+    data_cfg = cfg["data"]
+    members = [int(m) for m in list(data_cfg.get("member_ids", [0]))]
+    val_months = int(data_cfg.get("val_months") or 1080)
+    if not slots:
+        log.warning("val_window scoring without feedback slots: the rollout "
+                    "degenerates to windowed inference (no autoregression).")
+
+    # walk the member concat from the end to find each member's val rows
+    per_member: list[tuple[int, int]] = []  # (member, months_from_tail)
+    remaining = val_months
+    for m in reversed(members):
+        take = min(remaining, 1021)
+        per_member.append((m, take))
+        remaining -= take
+        if remaining <= 0:
+            break
+    per_member.reverse()
+
+    preds_rows, truth_rows = [], []
+    variables = exp.state.variables()
+    for member, take in per_member:
+        forc, targ = load_ssp_arrays(
+            group, "ssp370", list(data_cfg["input_vars"]), list(data_cfg["output_vars"]),
+            [member], add_seasonal=bool(data_cfg.get("seasonal_embeddings", False)),
+            sanitize_threshold=data_cfg.get("sanitize_threshold", 1e10),
+            feedback_vars=list(data_cfg.get("feedback_vars", []) or []),
+        )
+        forc_norm = np.nan_to_num(tf.normalize(forc, exp.input_stats), nan=0.0).astype(np.float32)
+        if bool(roll_cfg.get("seed_history", False)):
+            h0 = np.zeros((seq_len, len(exp.lat), len(exp.lon), len(exp.output_vars)), np.float32)
+            t0 = tf.normalize(np.asarray(targ[:1], np.float64), exp.output_stats).astype(np.float32)
+            h0[-1] = np.moveaxis(t0[0], 0, -1)
+            preds_norm = run(variables, jnp.asarray(np.moveaxis(forc_norm, 1, -1)), jnp.asarray(h0))
+        else:
+            preds_norm = run(variables, jnp.asarray(np.moveaxis(forc_norm, 1, -1)))
+        preds_m = np.asarray(tf.inverse_transform(
+            jnp.transpose(preds_norm, (0, 3, 1, 2)).astype(jnp.float32), exp.output_stats
+        ))
+        preds_rows.append(preds_m[-take:])
+        truth_rows.append(np.asarray(targ[-take:], dtype=np.float32))
+        log.info(f"  member {member}: rolled 1021 months, scoring last {take}")
+
+    preds = np.concatenate(preds_rows, axis=0)
+    truth = np.concatenate(truth_rows, axis=0)
+    return float(kaggle_composite_score(preds, truth, exp.lat, list(exp.output_vars)))
 
 
 if __name__ == "__main__":

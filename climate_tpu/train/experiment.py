@@ -260,9 +260,13 @@ class Experiment:
                     "(prev_* input channels) — this model has none"
                 )
             log.info(f"Self-forcing 2-step rollout loss on (weight={sf_weight}, slots={sf_slots})")
+        mm_weight = float(self.cfg.get("training", {}).get("moment_loss_weight", 0.0) or 0.0)
+        if mm_weight > 0.0:
+            log.info(f"Distribution-moment loss on (weight={mm_weight})")
         self.step_fns = StepFunctions.build(
             self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs,
             self_force_slots=sf_slots, self_force_weight=sf_weight,
+            moment_loss_weight=mm_weight,
         )
 
         self.timer = StepTimer()

