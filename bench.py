@@ -31,6 +31,11 @@ STEPS = 50
 # the scan amortizes the axon per-dispatch overhead). Set =0 for per-step.
 FUSED = os.environ.get("CLIMATE_TPU_BENCH_FUSED", "1") == "1"
 SCAN_BATCHES = int(os.environ.get("CLIMATE_TPU_BENCH_SCAN_BATCHES", "32"))
+# Window gather strategy: "slice" = contiguous slice-size-T gather over a
+# once-padded dataset (dataset.py::gather_windows_slice); "mask" = the
+# original B*T row gather + zero-mask multiply. Default follows the in-situ
+# A/B (tools/parity/bench_slice_*_r3.log).
+GATHER = os.environ.get("CLIMATE_TPU_BENCH_GATHER", "mask")
 
 
 def measure_jax() -> float:
@@ -68,13 +73,17 @@ def measure_jax() -> float:
     state = replicate(mesh, create_train_state(model, rng, example, tx))
     fns = StepFunctions.build(
         model, tx, mesh, seq_len=SEQ_LEN,
-        has_batch_stats=False,
+        has_batch_stats=False, window_mode=GATHER,
     )
 
     # device-resident synthetic dataset sized like the real final split
     n_frames = 2048
     data_x = replicate(mesh, jax.random.normal(jax.random.PRNGKey(1), (n_frames, 48, 72, 7)))
     data_y = replicate(mesh, jax.random.normal(jax.random.PRNGKey(2), (n_frames, 48, 72, 2)))
+    if GATHER == "slice":
+        from climate_tpu.data.dataset import pad_for_windows
+
+        data_x = replicate(mesh, pad_for_windows(data_x, SEQ_LEN))
 
     host_rng = np.random.default_rng(0)
 

@@ -221,4 +221,7 @@ def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg
 
 
 if __name__ == "__main__":
-    main()
+    import json
+
+    # one machine-parseable line for queue logs / the parity report generator
+    print(json.dumps(main()))

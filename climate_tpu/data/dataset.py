@@ -99,6 +99,29 @@ def gather_windows(data: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
     return frames * valid[..., None, None, None].astype(frames.dtype)
 
 
+def pad_for_windows(data: jax.Array, seq_len: int) -> jax.Array:
+    """Prepend seq_len-1 zero frames ONCE (at dataset setup) so window
+    gathers become contiguous slices: original frame i lives at padded
+    row i + seq_len - 1, and the window [idx-T+1 .. idx] is exactly
+    padded[idx : idx+T]. The zero rows reproduce the reference's zero
+    left-padding (main_final.py:123-145) with no per-step mask work."""
+    pad = jnp.zeros((seq_len - 1,) + data.shape[1:], data.dtype)
+    return jnp.concatenate([pad, data], axis=0)
+
+
+def gather_windows_slice(padded: jax.Array, idx: jax.Array, seq_len: int) -> jax.Array:
+    """Window gather over a pad_for_windows array: one XLA gather with
+    slice size T on the time axis (contiguous 580 KB reads at the final
+    config vs B*T scattered single-frame rows for the take+mask path) and
+    zero masking folded into the stored pad rows. Measured stage cost of
+    the take+mask path is 1.75 ms of the 10.9 ms bf16 step
+    (tools/parity/step_breakdown_bf16.json) — this is the bandwidth-shaped
+    replacement. Semantics == gather_windows (tests/test_data.py)."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(padded, s, seq_len, axis=0)
+    )(idx)
+
+
 def epoch_permutation(rng: np.random.Generator, n: int, batch_size: int, drop_last: bool = False):
     """Shuffled batch index arrays for one epoch (host-side, tiny).
 

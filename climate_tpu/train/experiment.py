@@ -9,6 +9,7 @@ section 3), minus Lightning.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from datetime import datetime
@@ -263,11 +264,35 @@ class Experiment:
         mm_weight = float(self.cfg.get("training", {}).get("moment_loss_weight", 0.0) or 0.0)
         if mm_weight > 0.0:
             log.info(f"Distribution-moment loss on (weight={mm_weight})")
+        # Window gather strategy (sequence models): "slice" (default) gathers
+        # each window as ONE contiguous slice of a once-padded copy of the
+        # split (dataset.py::pad_for_windows) — no per-step zero-mask work,
+        # DMA-friendly contiguous reads; "mask" is the original B*T row
+        # gather. Costs one extra device copy of each input split (~340 MB
+        # for the final train split).
+        self.window_mode = "mask"
+        if self.seq_len is not None:
+            self.window_mode = str(cfg.get("trainer", {}).get("window_gather", "mask"))
         self.step_fns = StepFunctions.build(
             self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs,
             self_force_slots=sf_slots, self_force_weight=sf_weight,
-            moment_loss_weight=mm_weight,
+            moment_loss_weight=mm_weight, window_mode=self.window_mode,
         )
+
+        if self.seq_len is not None and self.window_mode == "slice":
+            from ..data.dataset import pad_for_windows
+
+            pad_fn = jax.jit(
+                functools.partial(pad_for_windows, seq_len=self.seq_len),
+                out_shardings=replicated(self.mesh),
+            )
+            self.train_x = pad_fn(self.train_ds.inputs)
+            self.val_x = pad_fn(self.val_ds.inputs)
+            self.test_x = pad_fn(self.test_ds.inputs)
+        else:
+            self.train_x = self.train_ds.inputs
+            self.val_x = self.val_ds.inputs
+            self.test_x = self.test_ds.inputs
 
         self.timer = StepTimer()
 
@@ -333,7 +358,7 @@ class Experiment:
         if sanity_steps > 0 and self.start_epoch == 0:
             n_sanity = min(sanity_steps * self.eval_batch_size, self.val_ds.n)
             preds = predict_dataset(
-                self.step_fns, self.state, self.val_ds.inputs, n_sanity, self.eval_batch_size
+                self.step_fns, self.state, self.val_x, n_sanity, self.eval_batch_size
             )
             if not bool(np.isfinite(np.asarray(preds)).all()):
                 raise FloatingPointError(
@@ -356,7 +381,7 @@ class Experiment:
                     rng = jax.random.fold_in(drop_rng, epoch)
                     self.timer.start()
                     self.state, (loss_seq, gnorm_seq) = self.step_fns.train_epoch(
-                        self.state, self.train_ds.inputs, self.train_ds.outputs,
+                        self.state, self.train_x, self.train_ds.outputs,
                         idx_mat, mask_mat, rng,
                     )
                     # host pull = reliable sync (axon's block_until_ready can
@@ -379,7 +404,7 @@ class Experiment:
                         self.timer.start()
                         self.state, loss = self.step_fns.train_step(
                             self.state,
-                            self.train_ds.inputs,
+                            self.train_x,
                             self.train_ds.outputs,
                             jnp.asarray(idx_p),
                             jnp.asarray(mask),
@@ -440,7 +465,7 @@ class Experiment:
         """One extra grad computation per watched epoch; histograms named
         gradients/<param> and parameters/<param> like wandb.watch's stream."""
         grads = self.step_fns.grad_fn(
-            self.state, self.train_ds.inputs, self.train_ds.outputs,
+            self.state, self.train_x, self.train_ds.outputs,
             jnp.asarray(idx), jnp.asarray(mask), rng,
         )
         step = int(self.state.step)
@@ -458,7 +483,7 @@ class Experiment:
         from ..eval.plots import worst_loss_panels
 
         preds_norm = predict_dataset(
-            self.step_fns, self.state, self.train_ds.inputs, self.train_ds.n, self.eval_batch_size
+            self.step_fns, self.state, self.train_x, self.train_ds.n, self.eval_batch_size
         )
         preds = np.asarray(jnp.transpose(preds_norm, (0, 3, 1, 2)), dtype=np.float32)
         trues = np.asarray(jnp.transpose(self.train_ds.outputs, (0, 3, 1, 2)), dtype=np.float32)
@@ -476,7 +501,7 @@ class Experiment:
 
     def validate(self, epoch: int) -> dict:
         preds_norm = predict_dataset(
-            self.step_fns, self.state, self.val_ds.inputs, self.val_ds.n, self.eval_batch_size
+            self.step_fns, self.state, self.val_x, self.val_ds.n, self.eval_batch_size
         )
         metrics = self._val_metrics(preds_norm, self.val_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
@@ -503,7 +528,7 @@ class Experiment:
         """Test phase: metrics vs (corrupted, see main_baseline.py:544-545)
         raw targets + Kaggle submission CSV."""
         preds_norm = predict_dataset(
-            self.step_fns, self.state, self.test_ds.inputs, self.test_ds.n, self.eval_batch_size
+            self.step_fns, self.state, self.test_x, self.test_ds.n, self.eval_batch_size
         )
         preds, metrics = self._test_metrics(preds_norm, self.test_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}

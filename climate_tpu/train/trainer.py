@@ -27,7 +27,7 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..data.dataset import gather_frames, gather_windows
+from ..data.dataset import gather_frames, gather_windows, gather_windows_slice
 from ..parallel.mesh import DATA_AXIS
 
 
@@ -54,7 +54,8 @@ class StepFunctions:
               has_batch_stats: bool,
               self_force_slots: dict[int, int] | None = None,
               self_force_weight: float = 0.5,
-              moment_loss_weight: float = 0.0):
+              moment_loss_weight: float = 0.0,
+              window_mode: str = "mask"):
         """seq_len=None -> single-frame models; else sliding-window gather.
 
         self_force_slots ({output_channel: prev input_channel}, feedback
@@ -67,9 +68,16 @@ class StepFunctions:
         vs closed-loop gap (VERDICT r2 weak #3); the reference has no
         analogue (its val loop is fully teacher-forced)."""
 
+        if window_mode not in ("mask", "slice"):
+            raise ValueError(f"window_mode must be 'mask' or 'slice', got {window_mode!r}")
+
         def gather(x_all, idx):
             if seq_len is None:
                 return gather_frames(x_all, idx)
+            if window_mode == "slice":
+                # x_all must be pad_for_windows(inputs, seq_len): the window
+                # is the contiguous slice padded[idx : idx+T] (dataset.py).
+                return gather_windows_slice(x_all, idx, seq_len)
             return gather_windows(x_all, idx, seq_len)
 
         def forward(params, batch_stats, x, rng, train: bool):

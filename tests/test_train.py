@@ -69,6 +69,48 @@ class TestWindowGather:
         np.testing.assert_allclose(out[1, :, 0, 0, 0], [0.0, 1.0, 2.0])
         np.testing.assert_allclose(out[2, :, 0, 0, 0], [2.0, 3.0, 4.0])
 
+    def test_slice_gather_matches_mask_gather(self):
+        from climate_tpu.data.dataset import gather_windows_slice, pad_for_windows
+
+        rng = jax.random.PRNGKey(0)
+        data = jax.random.normal(rng, (11, 3, 4, 2))
+        padded = pad_for_windows(data, 4)
+        assert padded.shape == (14, 3, 4, 2)
+        # every target index incl. the left edge (idx < T-1 -> zero pads)
+        idx = jnp.arange(11)
+        want = gather_windows(data, idx, 4)
+        got = gather_windows_slice(padded, idx, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_slice_mode_train_step_matches_mask_mode(self, mesh8):
+        """StepFunctions(window_mode='slice') must produce the same update
+        as 'mask' on the same batch (padded vs raw split views)."""
+        from climate_tpu.data.dataset import pad_for_windows
+
+        data_x = jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 5))
+        data_y = jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2))
+        x_ex = jnp.zeros((8, 3, 48, 72, 5))
+        tx = build_optimizer(1e-3)
+        idx, mask = pad_batch(np.asarray([0, 1, 5, 19]), 8)
+        results = {}
+        for mode in ("mask", "slice"):
+            model = AttUNetConvLSTM(n_output_channels=2, base=8)
+            state = replicate(mesh8, create_train_state(model, jax.random.PRNGKey(0), x_ex, tx))
+            fns = StepFunctions.build(
+                model, tx, mesh8, seq_len=3, has_batch_stats=False, window_mode=mode
+            )
+            x_all = pad_for_windows(data_x, 3) if mode == "slice" else data_x
+            new_state, loss = fns.train_step(
+                state, replicate(mesh8, x_all), replicate(mesh8, data_y),
+                jnp.asarray(idx), jnp.asarray(mask), jax.random.PRNGKey(5),
+            )
+            results[mode] = (float(loss), jax.tree.map(np.asarray, new_state.params))
+        assert results["mask"][0] == pytest.approx(results["slice"][0], rel=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            results["mask"][1], results["slice"][1],
+        )
+
 
 class TestBatching:
     def test_pad_batch(self):

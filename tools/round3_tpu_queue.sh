@@ -84,3 +84,59 @@ bash $W python bench.py > tools/parity/bench_rewarm_r3.log 2>&1 || true
 tail -1 tools/parity/bench_rewarm_r3.log
 
 echo "ROUND3 QUEUE1 DONE"
+
+# ===== appended round-3 extensions (run after the base queue) =====
+
+# --- 7. fused ConvLSTM kernel in-situ, PER-STEP path (the whole-epoch scan
+#         with the kernel inside OOM-killed the remote compiler — recorded;
+#         per-step is the honest in-situ comparison vs per-step XLA 5427)
+if [ ! -f tools/parity/bench_fused_lstm_perstep_r3.log ]; then
+  CLIMATE_TPU_CONVLSTM=fused CLIMATE_TPU_BENCH_FUSED=0 bash $W python bench.py \
+    > tools/parity/bench_fused_lstm_perstep_r3.log 2>&1 || true
+  tail -1 tools/parity/bench_fused_lstm_perstep_r3.log
+fi
+if [ ! -f tools/parity/bench_xla_perstep_r3.log ]; then
+  CLIMATE_TPU_BENCH_FUSED=0 bash $W python bench.py \
+    > tools/parity/bench_xla_perstep_r3.log 2>&1 || true
+  tail -1 tools/parity/bench_xla_perstep_r3.log
+fi
+
+# --- 8. moment-loss quality A/B: wide256 cnn_transformer e300 with the
+#         batch-moment map-matching loss (vs cos300wide256 = 0.5862 final)
+if [ ! -f tools/parity/jax_cnn_transformer_ensemble_mm300w256_e300.json ]; then
+  PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine seed=45 training.moment_loss_weight=1.0" \
+    bash $W python tools/parity_run.py --stack jax --model cnn_transformer \
+    --pipeline ensemble --epochs 300 \
+    --model-kw '{"embed_dim": 256, "mlp_dim": 512}' \
+    --tag "mm300w256" --save-preds
+fi
+
+# --- 9. long-horizon wide single: e600 cosine (quality ceiling probe)
+if [ ! -f tools/parity/jax_cnn_transformer_ensemble_cos600w256_e600.json ]; then
+  PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine seed=47" \
+    bash $W python tools/parity_run.py --stack jax --model cnn_transformer \
+    --pipeline ensemble --epochs 600 \
+    --model-kw '{"embed_dim": 256, "mlp_dim": 512}' \
+    --tag "cos600w256" --save-preds
+fi
+
+# --- 10. final re-warm so the driver's bench.py hits a warm cache
+bash $W python bench.py > tools/parity/bench_rewarm2_r3.log 2>&1 || true
+tail -1 tools/parity/bench_rewarm2_r3.log
+echo "ROUND3 QUEUE1 EXTENSIONS DONE"
+
+# --- 11. slice-gather in-situ A/B (contiguous slice-size-T window gather
+#         over a once-padded split vs the B*T row gather + mask; the gather
+#         stage is 1.75 ms of the 10.9 ms bf16 step). New compiles (~20-40
+#         min each, cached for the flip if it wins).
+if [ ! -f tools/parity/bench_slice_fused_r3.log ]; then
+  CLIMATE_TPU_BENCH_GATHER=slice bash $W python bench.py \
+    > tools/parity/bench_slice_fused_r3.log 2>&1 || true
+  tail -1 tools/parity/bench_slice_fused_r3.log
+fi
+if [ ! -f tools/parity/bench_slice_perstep_r3.log ]; then
+  CLIMATE_TPU_BENCH_GATHER=slice CLIMATE_TPU_BENCH_FUSED=0 bash $W python bench.py \
+    > tools/parity/bench_slice_perstep_r3.log 2>&1 || true
+  tail -1 tools/parity/bench_slice_perstep_r3.log
+fi
+echo "ROUND3 QUEUE1 SLICE AB DONE"
