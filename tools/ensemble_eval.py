@@ -58,7 +58,7 @@ def search_weights(M: np.ndarray, trues, lat, seed: int = 0):
     weights, alphas, var_scores = [], [], []
 
     for c, var in enumerate(OUTPUT_VARS):
-        Mv, tv = M[:, :, c], trues[:, c].astype(np.float64)
+        Mv, tv = M[:, :, c], trues[:, c].astype(np.float32)
         mw = METRIC_VAR_WEIGHTS[var]
 
         def obj(p):
@@ -120,7 +120,7 @@ def holdout_check(M, trues, lat):
             m = pred.mean(axis=0, keepdims=True)
             pred = m + alphas[c] * (pred - m)
             total += VAR_WEIGHTS[var] * _var_score(
-                pred, trues[sl, c].astype(np.float64), w_lat, METRIC_VAR_WEIGHTS[var]
+                pred, trues[sl, c].astype(np.float32), w_lat, METRIC_VAR_WEIGHTS[var]
             )
         return total
 
@@ -128,7 +128,7 @@ def holdout_check(M, trues, lat):
         total = 0.0
         for c, var in enumerate(OUTPUT_VARS):
             total += VAR_WEIGHTS[var] * _var_score(
-                M[:, sl, c].mean(axis=0), trues[sl, c].astype(np.float64),
+                M[:, sl, c].mean(axis=0), trues[sl, c].astype(np.float32),
                 w_lat, METRIC_VAR_WEIGHTS[var],
             )
         return total
@@ -161,7 +161,9 @@ def main(paths: list[str], weighted: bool = False, holdout: bool = False) -> dic
             kaggle_composite_score(z["preds"], trues, lat, OUTPUT_VARS)
         )
 
-    M = np.stack(members).astype(np.float64)
+    # f32 keeps the 5-9 member x 1021-month search tractable on the 1-core
+    # host; the reported scores are cross-checked with the canonical scorer
+    M = np.stack(members).astype(np.float32)
     result = {
         "n_members": len(members),
         "member_composites": per_member,

@@ -91,9 +91,10 @@ def main():
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803",
         "final / 0.5736 best-epoch (wide cnn_transformer, cosine e300), 5-member",
-        "ensemble 0.582, flagship ensemble 0.697, feedback-trained flagship 0.6463",
-        "(teacher-forced) with a stable 85-year closed-loop rollout scored honestly",
-        "below.",
+        "weighted+variance-calibrated ensemble **0.4703** (uniform 0.5822; split-half",
+        "holdout-validated — see the stacking section), feedback-trained flagship",
+        "0.6463 (teacher-forced) with a stable 85-year closed-loop rollout scored",
+        "honestly below.",
         "",
     ]
 
@@ -304,18 +305,25 @@ def main():
             ]
 
     # --- weighted stacking + variance re-inflation (tools/ensemble_eval.py) ---
-    ws = load_json("ensemble_weighted_r3.json")
-    if isinstance(ws, dict) and ws.get("weighted_composite"):
+    for fname, title in [
+        ("ensemble_weighted_r3.json",
+         "cnn_transformer members, ensemble pipeline — the quality headline"),
+        ("ensemble_weighted_flagship_r3.json",
+         "flagship 3-seed ensemble, final pipeline"),
+    ]:
+        ws = load_json(fname)
+        if not (isinstance(ws, dict) and ws.get("weighted_composite")):
+            continue
         alphas = ws.get("std_inflation_alpha", {})
         a_s = ", ".join(f"{v} alpha={a}" for v, a in alphas.items())
         lines += [
-            "## Weighted stacking + variance re-inflation (beyond-parity ensemble)",
+            f"## Weighted stacking + variance re-inflation ({title})",
             "",
             f"Per-variable convex member weights + a per-variable variance re-inflation",
             f"factor (SLSQP on each variable's own composite term — tools/ensemble_eval.py",
             f"--weighted): {ws['n_members']} members, uniform mean "
             f"**{ws['ensemble_composite']:.4f}** -> weighted+alpha "
-            f"**{ws['weighted_composite']:.4f}** ({a_s}).",
+            f"**{ws['weighted_composite']:.4f}** ({a_s}; canonical-scorer cross-checked).",
             "",
             "The dominant lever is pr variance re-inflation: MSE-trained models",
             "under-disperse precipitation, and recentring each pixel's time series as",
