@@ -29,7 +29,8 @@ from .transforms import normalize as tf
 class Predictor:
     def __init__(self, model, variables, input_stats: tf.StatsMap, output_stats: tf.StatsMap,
                  seq_len: int | None = None, input_var_names: list[str] | None = None,
-                 output_var_names: list[str] | None = None):
+                 output_var_names: list[str] | None = None,
+                 calibration: dict[str, float] | None = None):
         self.model = model
         self.variables = variables
         self.input_stats = input_stats
@@ -37,6 +38,9 @@ class Predictor:
         self.seq_len = seq_len
         self.input_var_names = list(input_var_names or [])
         self.output_var_names = list(output_var_names or [])
+        # per-variable variance re-inflation alphas (eval/calibrate.py);
+        # applied to time-series outputs (rollout) where a time mean exists
+        self.calibration = dict(calibration or {})
         self._forward = jax.jit(lambda v, x: model.apply(v, x))
 
     # ------------------------------------------------------------------
@@ -50,6 +54,7 @@ class Predictor:
         output_vars: list[str] | None = None,
         seasonal_embeddings: bool = True,
         seq_len: int | None = 6,
+        calibration: dict[str, float] | None = None,
     ) -> "Predictor":
         """Restore weights + normalizer stats (saved in the checkpoint meta —
         no dataset access needed, unlike the reference which must recompute
@@ -106,7 +111,8 @@ class Predictor:
         state_template = create_train_state(model, jax.random.PRNGKey(0), example, build_optimizer(1e-3))
         restored = restore_state(ckpt_path, state_template)
         return cls(model, restored.variables(), input_stats, output_stats, seq_len=seq,
-                   input_var_names=channel_names, output_var_names=output_vars)
+                   input_var_names=channel_names, output_var_names=output_vars,
+                   calibration=calibration or meta.get("calibration"))
 
     # ------------------------------------------------------------------
     def predict(self, forcings, normalized: bool = False):
@@ -144,4 +150,17 @@ class Predictor:
             feedback_slots=slots if feedback else None,
         )
         pred_norm = run(self.variables, x)
-        return tf.inverse_transform(pred_norm.astype(jnp.float32), self.output_stats, channel_axis=-1)
+        out = tf.inverse_transform(pred_norm.astype(jnp.float32), self.output_stats, channel_axis=-1)
+        return self._calibrate_rollout(out)
+
+    def _calibrate_rollout(self, out):
+        """Variance re-inflation over the rollout's time axis
+        (eval/calibrate.py; channel-last (T, H, W, C) layout here)."""
+        if not self.calibration:
+            return out
+        for c, var in enumerate(self.output_var_names):
+            a = float(self.calibration.get(var, 1.0))
+            if a != 1.0:
+                m = out[..., c].mean(axis=0, keepdims=True)
+                out = out.at[..., c].set(m + a * (out[..., c] - m))
+        return out

@@ -28,15 +28,11 @@ import numpy as np
 OUTPUT_VARS = ["tas", "pr"]
 
 
-def _var_score(pred, true, w_lat, mw):
-    """One variable's composite term (0.1*monthly + 1.0*mean + w_std*std)."""
-    from climate_tpu.eval.metrics import monthly_rmse, time_mean_rmse, time_std_mae
+def _var_score(pred, true, w_lat, var):
+    """One variable's composite term (climate_tpu.eval.calibrate)."""
+    from climate_tpu.eval.calibrate import variable_score
 
-    return float(
-        mw["monthly_rmse"] * monthly_rmse(pred, true, w_lat)
-        + mw["time_mean"] * time_mean_rmse(pred, true, w_lat)
-        + mw["time_std"] * time_std_mae(pred, true, w_lat)
-    )
+    return variable_score(pred, true, w_lat, var)
 
 
 def search_weights(M: np.ndarray, trues, lat, seed: int = 0):
@@ -51,7 +47,7 @@ def search_weights(M: np.ndarray, trues, lat, seed: int = 0):
     M: (N, T, C, H, W) member predictions."""
     from scipy.optimize import minimize
 
-    from climate_tpu.eval.metrics import METRIC_VAR_WEIGHTS, get_lat_weights
+    from climate_tpu.eval.metrics import get_lat_weights
 
     n = M.shape[0]
     w_lat = get_lat_weights(lat)
@@ -59,7 +55,6 @@ def search_weights(M: np.ndarray, trues, lat, seed: int = 0):
 
     for c, var in enumerate(OUTPUT_VARS):
         Mv, tv = M[:, :, c], trues[:, c].astype(np.float32)
-        mw = METRIC_VAR_WEIGHTS[var]
 
         def obj(p):
             w = np.maximum(p[:n], 0.0)
@@ -68,7 +63,7 @@ def search_weights(M: np.ndarray, trues, lat, seed: int = 0):
             pred = np.tensordot(w, Mv, axes=1)
             m = pred.mean(axis=0, keepdims=True)
             pred = m + p[n] * (pred - m)
-            return _var_score(pred, tv, w_lat, mw)
+            return _var_score(pred, tv, w_lat, var)
 
         starts = [np.full(n, 1.0 / n)]
         solo = [obj(np.concatenate([np.eye(n)[i], [1.0]])) for i in range(n)]
@@ -103,11 +98,7 @@ def holdout_check(M, trues, lat):
     the uniform mean on the same second half. If the frozen-fit score beats
     uniform out-of-sample, the stacking gain is calibration, not val
     memorization."""
-    from climate_tpu.eval.metrics import (
-        METRIC_VAR_WEIGHTS,
-        VAR_WEIGHTS,
-        get_lat_weights,
-    )
+    from climate_tpu.eval.metrics import VAR_WEIGHTS, get_lat_weights
 
     h = M.shape[1] // 2
     _, weights, alphas = search_weights(M[:, :h], trues[:h], lat)
@@ -120,7 +111,7 @@ def holdout_check(M, trues, lat):
             m = pred.mean(axis=0, keepdims=True)
             pred = m + alphas[c] * (pred - m)
             total += VAR_WEIGHTS[var] * _var_score(
-                pred, trues[sl, c].astype(np.float32), w_lat, METRIC_VAR_WEIGHTS[var]
+                pred, trues[sl, c].astype(np.float32), w_lat, var
             )
         return total
 
@@ -129,7 +120,7 @@ def holdout_check(M, trues, lat):
         for c, var in enumerate(OUTPUT_VARS):
             total += VAR_WEIGHTS[var] * _var_score(
                 M[:, sl, c].mean(axis=0), trues[sl, c].astype(np.float32),
-                w_lat, METRIC_VAR_WEIGHTS[var],
+                w_lat, var,
             )
         return total
 
