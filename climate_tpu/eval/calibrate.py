@@ -53,7 +53,7 @@ def apply_variance_inflation(preds: np.ndarray, alphas: dict[str, float],
 
 def fit_variance_inflation(preds: np.ndarray, trues: np.ndarray, lat,
                            output_vars: list[str],
-                           bounds: tuple[float, float] = (0.7, 1.6)) -> dict[str, float]:
+                           bounds: tuple[float, float] = (0.5, 2.0)) -> dict[str, float]:
     """Fit one variance-inflation alpha per variable on (preds, trues).
 
     (T, C, H, W) arrays in physical units. Uses bounded golden-section

@@ -122,6 +122,24 @@ class CheckpointManager:
             return True
         return value < self.best_value if self.mode == "min" else value > self.best_value
 
+    def update_meta(self, extra: dict[str, Any]) -> list[str]:
+        """Merge keys into every existing checkpoint meta file (best/last/
+        epoch_*). Used for post-training additions like the train-fitted
+        variance calibration (experiment._fit_train_calibration), which is
+        only known after the epoch loop has written the checkpoints."""
+        updated = []
+        for fn in os.listdir(self.dir):
+            if not fn.endswith("." + META_FILE):
+                continue
+            path = os.path.join(self.dir, fn)
+            with open(path) as f:
+                meta = json.load(f)
+            meta.update(extra)
+            with open(path, "w") as f:
+                json.dump(meta, f)
+            updated.append(fn[: -len("." + META_FILE)])
+        return updated
+
     def _save(self, name: str, state: TrainState, meta: dict) -> None:
         path = os.path.join(self.dir, name)
         self._ckptr.save(path, state, force=True)

@@ -457,9 +457,32 @@ class Experiment:
                     f"{self.timer.samples_per_sec:.0f} samples/s)"
                 )
 
+        if bool(self.cfg.get("training", {}).get("fit_calibration", False)):
+            self._fit_train_calibration()
         if cfg_tr.get("visualize_worst_loss"):
             self._visualize_worst_train_loss()
         return last_val
+
+    def _fit_train_calibration(self) -> None:
+        """Fit per-variable variance re-inflation alphas on the TRAIN split
+        (selection-free — no val leakage) with the final params and merge
+        them into every written checkpoint meta, so serve.Predictor applies
+        them automatically (meta['calibration']). Beyond-parity MOS-style
+        calibration: MSE training under-disperses the month-to-month
+        variability the composite's time-std term scores (eval/calibrate.py
+        for the measured effect). Fitted once, with the final params — the
+        alphas are gross dispersion statistics and are stable across the
+        late epochs."""
+        from ..eval.calibrate import fit_variance_inflation
+
+        preds_norm = predict_dataset(
+            self.step_fns, self.state, self.train_x, self.train_ds.n, self.eval_batch_size
+        )
+        preds = np.asarray(self._denorm_tchw(preds_norm.astype(jnp.float32)), np.float32)
+        trues = np.asarray(self._denorm_tchw(self.train_ds.outputs), np.float32)
+        alphas = fit_variance_inflation(preds, trues, self.lat, list(self.output_vars))
+        updated = self.ckpt.update_meta({"calibration": alphas})
+        log.info(f"Train-fitted variance calibration {alphas} -> checkpoint meta {updated}")
 
     def _log_watch_histograms(self, idx, mask, rng) -> None:
         """One extra grad computation per watched epoch; histograms named

@@ -296,6 +296,24 @@ class TestCheckpoint:
             np.asarray(jax.tree.leaves(state.params)[0]),
         )
 
+    def test_update_meta_merges_into_all_checkpoints(self, tmp_path, mesh8):
+        """update_meta (post-training calibration write-back) must merge keys
+        into best AND last metas and survive a restore."""
+        from climate_tpu.train.checkpoint import CheckpointManager
+
+        rng = jax.random.PRNGKey(0)
+        model = UNet(n_output_channels=2, base=8)
+        state = create_train_state(model, rng, jnp.zeros((2, 48, 72, 5)), build_optimizer(1e-3))
+        stats = {0: {"method": "zscore", "params": {"mean": 0.0, "std": 1.0, "eps": 0.0}}}
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(state, {"val/loss": 1.0}, 0, stats, stats)
+        updated = mgr.update_meta({"calibration": {"tas": 1.02, "pr": 1.28}})
+        assert sorted(updated) == ["best", "last"]
+        for name in ("best", "last"):
+            _, meta = mgr.restore(state, name=name)
+            assert meta["calibration"] == {"tas": 1.02, "pr": 1.28}
+            assert meta["epoch"] == 0  # existing keys intact
+
     def test_save_top_k_keeps_k_best_and_prunes(self, tmp_path, mesh8):
         """save_top_k>1 must keep the k best epochs on disk (reference
         surface: trainer.checkpoint.save_top_k — previously accepted but

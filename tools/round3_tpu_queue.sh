@@ -140,3 +140,16 @@ if [ ! -f tools/parity/bench_slice_perstep_r3.log ]; then
   tail -1 tools/parity/bench_slice_perstep_r3.log
 fi
 echo "ROUND3 QUEUE1 SLICE AB DONE"
+
+# --- 12. train-fitted calibration member (training.fit_calibration=true):
+#         alphas fit on the TRAIN split only (no val leakage), stored in
+#         checkpoint meta; also a 6th ensemble member (seed 48)
+if [ ! -f tools/parity/jax_cnn_transformer_ensemble_calib300w256_e300.json ]; then
+  PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine seed=48 training.fit_calibration=true" \
+    bash $W python tools/parity_run.py --stack jax --model cnn_transformer \
+    --pipeline ensemble --epochs 300 \
+    --model-kw '{"embed_dim": 256, "mlp_dim": 512}' \
+    --tag "calib300w256" --save-preds
+  echo "CKPT_CALIB=$(newest_ckpt)/best" >> $STATE
+fi
+echo "ROUND3 QUEUE1 CALIB DONE"
