@@ -135,16 +135,34 @@ def main(argv: list[str] | None = None) -> dict:
     # input is the model's own prediction. (Not byte-identical to the final
     # pipeline's val split, which spans members 1-2 of the concatenated
     # ssp370 stream; this scores one member's scenario end-to-end.)
+    # rollout.calibrate=true applies the checkpoint's stored variance
+    # re-inflation alphas (training.fit_calibration, meta['calibration'])
+    # to the SCORED copy of the predictions. The fed-back history inside
+    # the scan stays raw — calibration is a post-hoc output correction,
+    # not part of the model dynamics.
+    calibration = {}
+    if bool(roll_cfg.get("calibrate", False)):
+        calibration = dict(exp.restored_meta.get("calibration") or {})
+        if not calibration:
+            log.warning("rollout.calibrate=true but the checkpoint meta has no "
+                        "'calibration' alphas (train with "
+                        "training.fit_calibration=true) — scoring raw.")
+        else:
+            log.info(f"Scoring with variance calibration alphas {calibration}")
+
+    def _calibrated(p):
+        if not calibration:
+            return p
+        from ..eval.calibrate import apply_variance_inflation
+
+        return apply_variance_inflation(p, calibration, list(exp.output_vars))
+
     score_last = int(roll_cfg.get("score_last", 0) or 0)
     if score_last > 0:
-        from ..eval.metrics import kaggle_composite_score
-
         n = min(score_last, months)
         truth = np.asarray(targets[:months][-n:], dtype=np.float32)
-        composite = float(
-            kaggle_composite_score(preds[-n:], truth, exp.lat, list(exp.output_vars))
-        )
-        log.info(f"Closed-loop composite over the last {n} months: {composite:.4f}")
+        composite = _log_scored(_calibrated(preds[-n:]), truth, exp, log,
+                                f"Closed-loop composite over the last {n} months")
         result["closed_loop_composite"] = composite
         result["scored_months"] = n
 
@@ -158,7 +176,7 @@ def main(argv: list[str] | None = None) -> dict:
     # quirk) and assemble the val rows from the rolled streams.
     if bool(roll_cfg.get("val_window", False)):
         composite = _score_val_window_closed_loop(
-            cfg, exp, group, slots, seq_len, run, roll_cfg, log
+            cfg, exp, group, slots, seq_len, run, roll_cfg, log, _calibrated
         )
         log.info(f"Val-window closed-loop composite: {composite:.4f} "
                  f"(teacher-forced val composite is in the training logs/PARITY.md)")
@@ -166,11 +184,25 @@ def main(argv: list[str] | None = None) -> dict:
     return result
 
 
-def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg, log):
+def _log_scored(preds, truth, exp, log, label: str) -> float:
+    """Score + log the composite AND its per-variable term breakdown (which
+    term a closed-loop rollout loses — drifted monthly error vs miscalibrated
+    time-mean/std climatology — decides the fix: self-forcing vs calibration)."""
+    from ..eval.metrics import evaluate_predictions, kaggle_composite_score
+
+    composite = float(kaggle_composite_score(preds, truth, exp.lat, list(exp.output_vars)))
+    detail = evaluate_predictions(preds, truth, exp.lat, list(exp.output_vars), phase="r")
+    log.info(f"{label}: {composite:.4f}")
+    log.info("  breakdown: " + ", ".join(
+        f"{k.split('/', 1)[1]}={float(v):.4f}" for k, v in sorted(detail.items())))
+    return composite
+
+
+def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg, log,
+                                  calibrated=lambda p: p):
     import jax.numpy as jnp
 
     from ..data.etl import load_ssp_arrays
-    from ..eval.metrics import kaggle_composite_score
     from ..transforms import normalize as tf
 
     data_cfg = cfg["data"]
@@ -217,7 +249,7 @@ def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg
 
     preds = np.concatenate(preds_rows, axis=0)
     truth = np.concatenate(truth_rows, axis=0)
-    return float(kaggle_composite_score(preds, truth, exp.lat, list(exp.output_vars)))
+    return _log_scored(calibrated(preds), truth, exp, log, "Val-window closed-loop")
 
 
 if __name__ == "__main__":

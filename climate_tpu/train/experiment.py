@@ -233,8 +233,10 @@ class Experiment:
         self._test_metrics = jax.jit(_test_metrics_fn, in_shardings=(repl, repl), out_shardings=repl)
 
         self.start_epoch = 0
+        self.restored_meta: dict = {}
         if cfg.get("ckpt_path"):
             self.state, meta = restore_from_path(cfg["ckpt_path"], self.state)
+            self.restored_meta = meta
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             if "input_stats" in meta:  # stats travel with the checkpoint
                 self.input_stats = meta["input_stats"]
@@ -245,11 +247,17 @@ class Experiment:
         # step functions close over the (possibly resume-adjusted) optimizer,
         # so they are built only after any checkpoint restore above.
         # training.self_force_weight > 0 (feedback models only) turns on the
-        # 2-step rollout loss: the model consumes its OWN t-1 prediction in
-        # frame t's prev channels (trainer.py self_force_loss_fn).
-        sf_weight = float(self.cfg.get("training", {}).get("self_force_weight", 0.0) or 0.0)
+        # chained rollout loss: the model consumes its OWN predictions for
+        # the last training.self_force_steps months in the window's prev
+        # channels (trainer.py self_force_loss_fn). training.prev_noise > 0
+        # perturbs the teacher-forced prev channels (robustness to the
+        # imperfect history closed-loop rollouts feed).
+        tr_cfg = self.cfg.get("training", {})
+        sf_weight = float(tr_cfg.get("self_force_weight", 0.0) or 0.0)
+        sf_steps = int(tr_cfg.get("self_force_steps", 1) or 1)
+        prev_noise = float(tr_cfg.get("prev_noise", 0.0) or 0.0)
         sf_slots = None
-        if sf_weight > 0.0:
+        if sf_weight > 0.0 or prev_noise > 0.0:
             from ..eval.rollout import feedback_slots_from_names
 
             sf_slots = feedback_slots_from_names(
@@ -257,10 +265,14 @@ class Experiment:
             )
             if not sf_slots:
                 raise ValueError(
-                    "training.self_force_weight requires data.feedback_vars "
-                    "(prev_* input channels) — this model has none"
+                    "training.self_force_weight / training.prev_noise require "
+                    "data.feedback_vars (prev_* input channels) — this model has none"
                 )
-            log.info(f"Self-forcing 2-step rollout loss on (weight={sf_weight}, slots={sf_slots})")
+            if sf_weight > 0.0:
+                log.info(f"Self-forcing rollout loss on (weight={sf_weight}, "
+                         f"steps={sf_steps}, slots={sf_slots})")
+            if prev_noise > 0.0:
+                log.info(f"Prev-channel noise injection on (std={prev_noise})")
         mm_weight = float(self.cfg.get("training", {}).get("moment_loss_weight", 0.0) or 0.0)
         if mm_weight > 0.0:
             log.info(f"Distribution-moment loss on (weight={mm_weight})")
@@ -276,6 +288,7 @@ class Experiment:
         self.step_fns = StepFunctions.build(
             self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs,
             self_force_slots=sf_slots, self_force_weight=sf_weight,
+            self_force_steps=sf_steps, prev_noise=prev_noise,
             moment_loss_weight=mm_weight, window_mode=self.window_mode,
         )
 

@@ -54,19 +54,28 @@ class StepFunctions:
               has_batch_stats: bool,
               self_force_slots: dict[int, int] | None = None,
               self_force_weight: float = 0.5,
+              self_force_steps: int = 1,
+              prev_noise: float = 0.0,
               moment_loss_weight: float = 0.0,
               window_mode: str = "mask"):
         """seq_len=None -> single-frame models; else sliding-window gather.
 
         self_force_slots ({output_channel: prev input_channel}, feedback
-        models only): enables the 2-step rollout loss — the model first
-        predicts month t-1 from its teacher-forced window, that prediction
-        overwrites the prev_<var> channels of frame t's window (the frame
-        the 1-step rollout would corrupt first), and the main loss is taken
-        on month t with gradients flowing through BOTH forwards. This trains
-        the model to consume its own outputs, attacking the teacher-forced
-        vs closed-loop gap (VERDICT r2 weak #3); the reference has no
-        analogue (its val loop is fully teacher-forced)."""
+        models only): with self_force_weight > 0, enables the chained
+        rollout loss — the model first predicts months t-k..t-1
+        (k = self_force_steps) sequentially, each prediction overwriting
+        the prev_<var> channels of the NEXT window's trailing frames, and
+        the main loss is taken on month t whose last k frames all carry
+        model (not teacher) history. Gradients flow through the whole
+        chain (truncated BPTT through the rollout). This trains the model
+        to consume its own outputs, attacking the teacher-forced vs
+        closed-loop gap (VERDICT r2 weak #3); the reference has no
+        analogue (its val loop is fully teacher-forced).
+
+        prev_noise > 0 (feedback models only) additionally perturbs the
+        teacher-forced prev_<var> channels with N(0, prev_noise^2) noise in
+        normalized space during training — cheap input-robustness against
+        the imperfect self-generated history a closed-loop rollout feeds."""
 
         if window_mode not in ("mask", "slice"):
             raise ValueError(f"window_mode must be 'mask' or 'slice', got {window_mode!r}")
@@ -130,35 +139,69 @@ class StepFunctions:
         sf_slots = tuple(sorted((self_force_slots or {}).items()))
         if sf_slots and seq_len is None:
             raise ValueError("self_force_slots requires a sequence model (seq_len)")
+        if self_force_steps < 1:
+            raise ValueError(f"self_force_steps must be >= 1, got {self_force_steps}")
+
+        def _set_prev(x, frame, pred):
+            """Write pred's feedback channels into window frame's prev slots."""
+            for out_c, in_c in sf_slots:
+                x = x.at[:, frame, :, :, in_c].set(pred[..., out_c].astype(x.dtype))
+            return x
+
+        def _noise_prev(x, rng):
+            """Gaussian perturbation of the (normalized) prev channels."""
+            for i, (_, in_c) in enumerate(sf_slots):
+                n = jax.random.normal(jax.random.fold_in(rng, i), x.shape[:-1], x.dtype)
+                x = x.at[..., in_c].add(jnp.asarray(prev_noise, x.dtype) * n)
+            return x
 
         def self_force_loss_fn(params, batch_stats, x_all, y_all, idx, mask, rng):
-            idx_prev = jnp.maximum(idx - 1, 0)
-            # step 1: predict month t-1 from its (teacher-forced) window
-            x_prev = gather(x_all, idx_prev)
-            rng_prev = jax.random.fold_in(rng, 1)
-            pred_prev, bs1 = forward(params, batch_stats, x_prev, rng_prev, train=True)
-            # step 2: month t's window, its last frame's prev channels
-            # replaced by the model's OWN t-1 prediction (frames before t
-            # keep teacher forcing — a 1-step scheduled-sampling hybrid)
+            # Chain: predict months idx-k .. idx-1 sequentially (k =
+            # self_force_steps); window j's trailing frames carry the
+            # chain's own predictions so far; frames beyond the chain keep
+            # teacher forcing. k=1 is the 2-step hybrid of round 3 exactly.
+            k = self_force_steps
+            bs_cur = batch_stats
+            preds: list = []  # own predictions for months idx-k .. idx-1
+            aux = 0.0
+            for j in range(k):
+                off = k - j  # this iteration predicts month idx-off
+                idx_j = jnp.maximum(idx - off, 0)
+                x_j = gather(x_all, idx_j)
+                if prev_noise > 0.0:
+                    x_j = _noise_prev(x_j, jax.random.fold_in(rng, 100 + j))
+                for i, p in enumerate(reversed(preds[-(seq_len or 1):])):
+                    x_j = _set_prev(x_j, -(i + 1), p)
+                pred_j, bs_cur = forward(
+                    params, bs_cur, x_j, jax.random.fold_in(rng, 1 + j), train=True
+                )
+                y_j = gather_frames(y_all, idx_j)
+                # months with no real idx-off history contribute no aux loss
+                aux = aux + masked_mse(
+                    pred_j, y_j, mask * (idx >= off).astype(mask.dtype)
+                )
+                preds.append(pred_j)
             x = gather(x_all, idx)
-            for out_c, in_c in sf_slots:
-                x = x.at[:, -1, :, :, in_c].set(pred_prev[..., out_c].astype(x.dtype))
-            pred, new_bs = forward(params, bs1, x, rng, train=True)
+            if prev_noise > 0.0:
+                x = _noise_prev(x, jax.random.fold_in(rng, 99))
+            for i, p in enumerate(reversed(preds[-(seq_len or 1):])):
+                x = _set_prev(x, -(i + 1), p)
+            pred, new_bs = forward(params, bs_cur, x, rng, train=True)
             y = gather_frames(y_all, idx)
-            y_prev = gather_frames(y_all, idx_prev)
-            aux_mask = mask * (idx > 0).astype(mask.dtype)  # no real t-1 at 0
-            loss = batch_loss(pred, y, mask) + self_force_weight * masked_mse(
-                pred_prev, y_prev, aux_mask
-            )
+            loss = batch_loss(pred, y, mask) + self_force_weight * (aux / k)
             return loss, new_bs
 
+        use_self_force = bool(sf_slots) and self_force_weight > 0.0
+
         def _step_body(state, x_all, y_all, idx, mask, rng):
-            if sf_slots:
+            if use_self_force:
                 (loss, new_bs), grads = jax.value_and_grad(
                     self_force_loss_fn, has_aux=True
                 )(state.params, state.batch_stats, x_all, y_all, idx, mask, rng)
             else:
                 x = gather(x_all, idx)
+                if sf_slots and prev_noise > 0.0:  # noise-only robustness mode
+                    x = _noise_prev(x, jax.random.fold_in(rng, 99))
                 y = gather_frames(y_all, idx)
                 (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, state.batch_stats, x, y, mask, rng

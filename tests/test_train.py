@@ -243,6 +243,47 @@ class TestSelfForcing:
                 has_batch_stats=False, self_force_slots={0: 5},
             )
 
+    def test_self_force_chain_and_prev_noise(self, mesh8):
+        """k-step chain (training.self_force_steps) and prev-channel noise
+        (training.prev_noise): every variant runs to a finite loss, the
+        chain length changes the loss (more self-generated history in the
+        window), and noise-only mode perturbs the plain teacher-forced
+        step without invoking the chain."""
+        rng = jax.random.PRNGKey(0)
+        model = AttUNetConvLSTM(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        x_ex = jnp.zeros((8, 3, 48, 72, 7))
+        data_x = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 7)))
+        data_y = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2)))
+        idx, mask = pad_batch(np.asarray([0, 1, 5, 19]), 8)
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+        slots = {0: 5, 1: 6}
+
+        losses = {}
+        for name, kw in [
+            ("k1", dict(self_force_slots=slots, self_force_weight=0.5)),
+            ("k3", dict(self_force_slots=slots, self_force_weight=0.5,
+                        self_force_steps=3)),
+            ("noise_only", dict(self_force_slots=slots, self_force_weight=0.0,
+                                prev_noise=0.1)),
+            ("clean", dict()),
+        ]:
+            state = replicate(mesh8, create_train_state(model, rng, x_ex, tx))
+            fns = StepFunctions.build(
+                model, tx, mesh8, seq_len=3, has_batch_stats=False, **kw
+            )
+            _, loss = fns.train_step(state, data_x, data_y, idx, mask, rng)
+            losses[name] = float(loss)
+        assert all(np.isfinite(v) for v in losses.values())
+        assert losses["k3"] != pytest.approx(losses["k1"], rel=1e-6)
+        assert losses["noise_only"] != pytest.approx(losses["clean"], rel=1e-6)
+
+        with pytest.raises(ValueError, match="self_force_steps"):
+            StepFunctions.build(
+                model, tx, mesh8, seq_len=3, has_batch_stats=False,
+                self_force_slots=slots, self_force_steps=0,
+            )
+
 
 class TestOptimizerParity:
     def test_adam_matches_torch_semantics(self):

@@ -255,6 +255,12 @@ def main():
          "jax_unet_convlstm_attention_final_fbbase_e50"),
         ("self-forced training (2-step rollout loss, w=0.5)", "rollout_valwin_selfforce.log",
          "jax_unet_convlstm_attention_final_fbselfforce_e50"),
+        ("chained self-forcing (k=2, w=0.5, prev_noise=0.05)", "rollout_valwin_fbchain2.log",
+         "jax_unet_convlstm_attention_final_fbchain2_e50"),
+        ("chained self-forcing, variance-calibrated scoring", "rollout_valwin_fbchain2_calib.log",
+         "jax_unet_convlstm_attention_final_fbchain2_e50"),
+        ("prev-noise only (w=0, prev_noise=0.1)", "rollout_valwin_fbnoise.log",
+         "jax_unet_convlstm_attention_final_fbnoise_e50"),
     ]:
         r = load_json(logname)
         if isinstance(r, dict) and r.get("val_window_closed_loop_composite"):
@@ -271,8 +277,13 @@ def main():
             "training val rows (every prev_<var> input = the model's own prediction,",
             "history seeded with the true month-0 state), so the closed-loop number is",
             "directly comparable to the teacher-forced val composite. Self-forcing =",
-            "the 2-step rollout loss (trainer.py self_force_slots): the model's own",
-            "t-1 prediction overwrites the prev channels of frame t during training.",
+            "the chained rollout loss (trainer.py self_force_loss_fn): the model's own",
+            "predictions for the last k months overwrite the prev channels of the next",
+            "window during training (BPTT through the chain); prev_noise perturbs the",
+            "teacher-forced prev channels for robustness to imperfect history;",
+            "'variance-calibrated scoring' applies the checkpoint's train-fitted",
+            "per-variable variance re-inflation (training.fit_calibration) to the",
+            "scored predictions (rollout.calibrate=true) — the fed-back history stays raw.",
             "",
             "| training | teacher-forced val (best) | closed-loop val window |",
             "|---|---|---|",
