@@ -76,9 +76,16 @@ def measure_jax() -> float:
         has_batch_stats=False, window_mode=GATHER,
     )
 
-    # device-resident synthetic dataset sized like the real final split
+    # device-resident synthetic dataset sized like the real final split.
+    # Inputs stored at the compute dtype (bf16 storage is mathematically
+    # identical — the first conv casts fp32->bf16 anyway — but the window
+    # gather moves half the HBM bytes; see DeviceDataset.from_host).
+    # Opt out with CLIMATE_TPU_BENCH_DATA_BF16=0.
     n_frames = 2048
-    data_x = replicate(mesh, jax.random.normal(jax.random.PRNGKey(1), (n_frames, 48, 72, 7)))
+    data_dtype = dtype if os.environ.get("CLIMATE_TPU_BENCH_DATA_BF16", "1") == "1" else jnp.float32
+    data_x = replicate(
+        mesh, jax.random.normal(jax.random.PRNGKey(1), (n_frames, 48, 72, 7)).astype(data_dtype)
+    )
     data_y = replicate(mesh, jax.random.normal(jax.random.PRNGKey(2), (n_frames, 48, 72, 2)))
     if GATHER == "slice":
         from climate_tpu.data.dataset import pad_for_windows

@@ -85,12 +85,36 @@ def main(argv: list[str] | None = None) -> dict:
 
     seq_len = exp.seq_len or int(data_cfg.get("seq_len", 1))
     variables = exp.state.variables()
+
+    # Closed-loop ensembling (rollout.extra_ckpts=[<ckpt dir>,...]): stack
+    # same-architecture member checkpoints and average their normalized
+    # predictions at EVERY scan step, so the fed-back history is the ensemble
+    # mean — member errors decorrelate before they can compound, the same
+    # mechanism that makes teacher-forced ensembles win (PARITY.md 0.4703).
+    # The reference has no rollout at all, let alone an ensemble one.
+    extra_ckpts = [str(p) for p in (roll_cfg.get("extra_ckpts", []) or [])]
+    if extra_ckpts:
+        from ..train.checkpoint import restore_state
+
+        member_vars = [variables]
+        for p in extra_ckpts:
+            member_vars.append(restore_state(p, exp.state).variables())
+        variables = jax.tree.map(lambda *xs: jnp.stack(xs), *member_vars)
+        log.info(f"Ensemble rollout: {len(member_vars)} members "
+                 f"(main ckpt + {len(extra_ckpts)} extra)")
+
+        def apply_fn(vv, x):
+            return jax.vmap(lambda v: exp.model.apply(v, x))(vv).mean(axis=0)
+    else:
+        def apply_fn(vv, x):
+            return exp.model.apply(vv, x)
+
     # seed_history reproduces the training-time clamp prev[0]=out[0] (ETL
     # stores the true month-0 output, not a zero, in frame 0's prev channel)
     # by placing the normalized true month-0 outputs in the last history row.
     seed_history = bool(roll_cfg.get("seed_history", False))
     run = rollout_jit(
-        lambda vv, x: exp.model.apply(vv, x),
+        apply_fn,
         seq_len=seq_len,
         feedback_slots=slots if feedback else None,
         with_history=seed_history,
@@ -141,7 +165,20 @@ def main(argv: list[str] | None = None) -> dict:
     # the scan stays raw — calibration is a post-hoc output correction,
     # not part of the model dynamics.
     calibration = {}
-    if bool(roll_cfg.get("calibrate", False)):
+    explicit_alphas = list(roll_cfg.get("calibration_alphas", []) or [])
+    if explicit_alphas:
+        # rollout.calibration_alphas=[a_<var0>, a_<var1>, ...] aligned with
+        # output_vars — overrides checkpoint meta (needed for ensemble
+        # rollouts, whose averaged predictions under-disperse more than any
+        # single member, so per-member alphas underestimate).
+        if len(explicit_alphas) != len(exp.output_vars):
+            raise SystemExit(
+                f"rollout.calibration_alphas needs {len(exp.output_vars)} values "
+                f"(one per output var {list(exp.output_vars)}), got {explicit_alphas}"
+            )
+        calibration = {v: float(a) for v, a in zip(exp.output_vars, explicit_alphas)}
+        log.info(f"Scoring with explicit variance calibration alphas {calibration}")
+    elif bool(roll_cfg.get("calibrate", False)):
         calibration = dict(exp.restored_meta.get("calibration") or {})
         if not calibration:
             log.warning("rollout.calibrate=true but the checkpoint meta has no "
@@ -161,6 +198,16 @@ def main(argv: list[str] | None = None) -> dict:
     if score_last > 0:
         n = min(score_last, months)
         truth = np.asarray(targets[:months][-n:], dtype=np.float32)
+        if not np.any(truth):
+            # held-out competition scenarios (e.g. ssp245) ship with all-zero
+            # targets in the public store — a composite against them is
+            # preds-vs-zero noise, not a score
+            log.warning(
+                f"rollout.score_last: the {data_cfg['test_ssp']} targets for the "
+                "scored months are all zero (held-out scenario without labels); "
+                "the composite below is meaningless — score against a labeled "
+                "scenario (e.g. rollout.val_window=true on ssp370) instead."
+            )
         composite = _log_scored(_calibrated(preds[-n:]), truth, exp, log,
                                 f"Closed-loop composite over the last {n} months")
         result["closed_loop_composite"] = composite
@@ -176,7 +223,8 @@ def main(argv: list[str] | None = None) -> dict:
     # quirk) and assemble the val rows from the rolled streams.
     if bool(roll_cfg.get("val_window", False)):
         composite = _score_val_window_closed_loop(
-            cfg, exp, group, slots, seq_len, run, roll_cfg, log, _calibrated
+            cfg, exp, group, slots, seq_len, run, roll_cfg, log, _calibrated,
+            variables=variables,
         )
         log.info(f"Val-window closed-loop composite: {composite:.4f} "
                  f"(teacher-forced val composite is in the training logs/PARITY.md)")
@@ -199,7 +247,7 @@ def _log_scored(preds, truth, exp, log, label: str) -> float:
 
 
 def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg, log,
-                                  calibrated=lambda p: p):
+                                  calibrated=lambda p: p, variables=None):
     import jax.numpy as jnp
 
     from ..data.etl import load_ssp_arrays
@@ -224,7 +272,8 @@ def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg
     per_member.reverse()
 
     preds_rows, truth_rows = [], []
-    variables = exp.state.variables()
+    if variables is None:
+        variables = exp.state.variables()
     for member, take in per_member:
         forc, targ = load_ssp_arrays(
             group, "ssp370", list(data_cfg["input_vars"]), list(data_cfg["output_vars"]),
@@ -249,6 +298,15 @@ def _score_val_window_closed_loop(cfg, exp, group, slots, seq_len, run, roll_cfg
 
     preds = np.concatenate(preds_rows, axis=0)
     truth = np.concatenate(truth_rows, axis=0)
+    # persist the (pred, truth) pair so calibration / stacking experiments
+    # can run offline from the npz instead of re-rolling on the chip
+    out_dir = os.path.join(exp.run_dir, "rollout")
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(out_dir, "valwin_closed_loop.npz"),
+        preds=preds, truth=truth, lat=exp.lat, lon=exp.lon,
+        output_vars=np.asarray(list(exp.output_vars)),
+    )
     return _log_scored(calibrated(preds), truth, exp, log, "Val-window closed-loop")
 
 

@@ -39,8 +39,18 @@ class DeviceDataset:
         return self.inputs.shape[0]
 
     @classmethod
-    def from_host(cls, inputs_tchw: np.ndarray, outputs_tchw: np.ndarray, sharding=None):
-        """(time, C, y, x) host arrays -> fp32 NHWC device arrays."""
+    def from_host(cls, inputs_tchw: np.ndarray, outputs_tchw: np.ndarray, sharding=None,
+                  input_dtype=np.float32):
+        """(time, C, y, x) host arrays -> NHWC device arrays.
+
+        inputs are stored at `input_dtype`; outputs always stay fp32 (loss /
+        metric targets). Storing inputs in bf16 when the model computes in
+        bf16 is mathematically identical to fp32 storage — the model's first
+        conv casts fp32 inputs to bf16 anyway (flax promote_dtype), so the
+        same cast just moves before the per-step window gather, halving its
+        HBM read/write traffic (the gather is the bandwidth-shaped stage:
+        tools/parity/step_breakdown_bf16.json).
+        """
         x = np.ascontiguousarray(np.moveaxis(inputs_tchw, 1, -1), dtype=np.float32)
         y = np.ascontiguousarray(np.moveaxis(outputs_tchw, 1, -1), dtype=np.float32)
         if np.isnan(x).any() or np.isnan(y).any():
@@ -51,7 +61,10 @@ class DeviceDataset:
 
             warnings.warn("NaN values detected in dataset tensors")
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jnp.asarray
-        return cls(inputs=put(x), outputs=put(y))
+        xin = put(x)
+        if input_dtype is not None and jnp.dtype(input_dtype) != jnp.float32:
+            xin = xin.astype(input_dtype)
+        return cls(inputs=xin, outputs=put(y))
 
 
 def gather_frames(data: jax.Array, idx: jax.Array) -> jax.Array:

@@ -120,20 +120,35 @@ class Experiment:
         def norm_in(x):
             return np.nan_to_num(tf.normalize(x, self.input_stats), nan=0.0)
 
+        # bf16 compute -> store inputs in bf16 too: identical values reach the
+        # model (its first conv casts fp32->bf16 anyway) but the per-step
+        # window gather moves half the HBM bytes. Exactness is tested
+        # (tests/test_train.py bf16-storage equivalence). Opt out with
+        # training.data_bf16=false. Outputs stay fp32 (loss/metric targets).
+        training_cfg = cfg.get("training", {}) or {}
+        in_dtype = np.float32
+        if str(training_cfg.get("precision", "32")) == "bf16" and bool(
+            training_cfg.get("data_bf16", True)
+        ):
+            in_dtype = jnp.bfloat16
+
         self.train_ds = DeviceDataset.from_host(
             norm_in(bundle.train.inputs),
             tf.normalize(bundle.train.outputs, self.output_stats),
             sharding=repl,
+            input_dtype=in_dtype,
         )
         self.val_ds = DeviceDataset.from_host(
             norm_in(bundle.val.inputs),
             tf.normalize(bundle.val.outputs, self.output_stats),
             sharding=repl,
+            input_dtype=in_dtype,
         )
         self.test_ds = DeviceDataset.from_host(
             norm_in(bundle.test.inputs),
             bundle.test.outputs,  # raw targets (reference parity)
             sharding=repl,
+            input_dtype=in_dtype,
         )
         log.info(
             f"Datasets created. Train: {self.train_ds.n}, Val: {self.val_ds.n}, Test: {self.test_ds.n}"

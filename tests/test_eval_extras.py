@@ -36,6 +36,36 @@ class TestRollout:
         direct0 = jax.jit(m.apply)(v, padded[None])[0]
         np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(direct0), rtol=2e-5, atol=2e-5)
 
+    def test_ensemble_rollout_equals_member_mean_when_forced(self):
+        """The stacked-vmap ensemble apply (cli/rollout.py extra_ckpts): with
+        no feedback the rollout is per-step linear in the member predictions,
+        so the ensemble rollout must equal the mean of the member rollouts
+        exactly; with feedback on it must differ (mean is fed back through
+        the nonlinear model, which is the point of closed-loop ensembling)."""
+        from climate_tpu.eval.rollout import rollout_jit
+
+        m, v1 = self._model()
+        v2 = jax.jit(m.init)(jax.random.PRNGKey(7), jnp.zeros((1, 3, 48, 72, 5)))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), v1, v2)
+
+        def ens_apply(vv, x):
+            return jax.vmap(lambda v: m.apply(v, x))(vv).mean(axis=0)
+
+        forcings = jax.random.normal(jax.random.PRNGKey(1), (8, 48, 72, 5))
+        ens = np.asarray(rollout_jit(ens_apply, seq_len=3)(stacked, forcings))
+        single = rollout_jit(lambda vv, x: m.apply(vv, x), seq_len=3)
+        mean = np.asarray((single(v1, forcings) + single(v2, forcings)) / 2.0)
+        np.testing.assert_allclose(ens, mean, rtol=2e-5, atol=2e-5)
+
+        # with feedback, compounding through the model makes them differ
+        slots = {0: 3, 1: 4}  # feed preds into the last two input channels
+        ens_fb = np.asarray(
+            rollout_jit(ens_apply, seq_len=3, feedback_slots=slots)(stacked, forcings)
+        )
+        fb = rollout_jit(lambda vv, x: m.apply(vv, x), seq_len=3, feedback_slots=slots)
+        mean_fb = np.asarray((fb(v1, forcings) + fb(v2, forcings)) / 2.0)
+        assert not np.allclose(ens_fb, mean_fb, rtol=1e-4, atol=1e-4)
+
     def test_feedback_rollout_differs_from_forced(self):
         """A feedback-trained model (7 = 5 forcings + prev_tas/prev_pr input
         channels): autoregressive feedback must change the trajectory."""

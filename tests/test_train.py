@@ -111,6 +111,36 @@ class TestWindowGather:
             results["mask"][1], results["slice"][1],
         )
 
+    @pytest.mark.slow  # two bf16 ConvLSTM train-step compiles (~4 min on the 1-core host)
+    def test_bf16_input_storage_is_exact(self, mesh8):
+        """Storing the split's inputs in bf16 under a bf16-compute model is
+        bit-identical to fp32 storage: the first conv casts fp32->bf16 anyway
+        (flax promote_dtype), so the cast just moves before the window gather
+        (DeviceDataset.from_host input_dtype). Loss and updated params must
+        match EXACTLY, not approximately."""
+        data_x = jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 5))
+        data_y = jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2))
+        x_ex = jnp.zeros((8, 3, 48, 72, 5))
+        tx = build_optimizer(1e-3)
+        idx, mask = pad_batch(np.asarray([0, 1, 5, 19]), 8)
+        results = {}
+        for store in (jnp.float32, jnp.bfloat16):
+            model = AttUNetConvLSTM(n_output_channels=2, base=8, dtype=jnp.bfloat16)
+            state = replicate(mesh8, create_train_state(model, jax.random.PRNGKey(0), x_ex, tx))
+            fns = StepFunctions.build(
+                model, tx, mesh8, seq_len=3, has_batch_stats=False
+            )
+            new_state, loss = fns.train_step(
+                state, replicate(mesh8, data_x.astype(store)), replicate(mesh8, data_y),
+                jnp.asarray(idx), jnp.asarray(mask), jax.random.PRNGKey(5),
+            )
+            results[store] = (float(loss), jax.tree.map(np.asarray, new_state.params))
+        assert results[jnp.float32][0] == results[jnp.bfloat16][0]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            results[jnp.float32][1], results[jnp.bfloat16][1],
+        )
+
 
 class TestBatching:
     def test_pad_batch(self):

@@ -212,13 +212,14 @@ def main():
 
     # --- throughput modes (bench.py on the real chip, round-3 queue logs) ---
     bench_modes = [
-        ("per-step, batch 64 (parity shape)", "bench_xla_perstep_r3.log", 64),
+        ("per-step, batch 64, fp32-stored inputs (round-2 default)", "bench_datafp32_perstep_r3.log", 64),
+        ("per-step, batch 64 (parity shape, bf16-stored inputs)", "bench_xla_perstep_r3.log", 64),
         ("per-step + fused-ConvLSTM Pallas kernel, batch 64", "bench_fused_lstm_perstep_r3.log", 64),
         ("fused epoch (lax.scan), batch 64 — production default", "bench_rewarm_r3.log", 64),
         ("per-step, slice window gather, batch 64", "bench_slice_perstep_r3.log", 64),
         ("fused epoch, slice window gather, batch 64", "bench_slice_fused_r3.log", 64),
-        ("per-step, batch 256 (large-batch mode)", "bench_batch256_r3.log", 256),
-        ("per-step, batch 512 (large-batch mode)", "bench_batch512_r3.log", 512),
+        ("per-step, batch 256 (large-batch mode, fp32-stored inputs)", "bench_batch256_r3.log", 256),
+        ("per-step, batch 512 (large-batch mode, fp32-stored inputs)", "bench_batch512_r3.log", 512),
     ]
     flops_per_sample = None
     bk_bf16 = load_json("step_breakdown_bf16.json")

