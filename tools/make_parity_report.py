@@ -262,6 +262,11 @@ def main():
          "jax_unet_convlstm_attention_final_fbchain2_e50"),
         ("prev-noise only (w=0, prev_noise=0.1)", "rollout_valwin_fbnoise.log",
          "jax_unet_convlstm_attention_final_fbnoise_e50"),
+        ("3-member closed-loop ensemble (fbbase+fbselfforce+fbchain2, "
+         "predictions averaged inside the scan)", "rollout_valwin_ens3.log",
+         "jax_unet_convlstm_attention_final_fbselfforce_e50"),
+        ("4-member closed-loop ensemble (+fbnoise)", "rollout_valwin_ens4.log",
+         "jax_unet_convlstm_attention_final_fbselfforce_e50"),
     ]:
         r = load_json(logname)
         if isinstance(r, dict) and r.get("val_window_closed_loop_composite"):
