@@ -133,23 +133,38 @@ def holdout_check(M, trues, lat):
     }
 
 
-def main(paths: list[str], weighted: bool = False, holdout: bool = False) -> dict:
+def main(paths: list[str], weighted: bool = False, holdout: bool = False,
+         align_tail: bool = False) -> dict:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from climate_tpu.eval.metrics import kaggle_composite_score
 
+    # --align-tail: allow members from different pipelines whose val splits
+    # share a common TAIL — the final pipeline's 1080-month val is the
+    # ensemble pipeline's 1021-month val (member 2's full ssp370 stream)
+    # prefixed with 59 member-1 months, so cropping everyone to the shortest
+    # member's tail puts them on identical rows (truths agree to fp32
+    # roundtrip, ~2e-4 K; asserted below with a physical-units tolerance).
+    loaded = [np.load(p) for p in paths]
+    tmin = min(z["preds"].shape[0] for z in loaded)
     members, trues, lat = [], None, None
     per_member = {}
-    for p in paths:
-        z = np.load(p)
+    for p, z in zip(paths, loaded):
+        preds, tr = z["preds"], z["trues"]
+        if align_tail:
+            preds, tr = preds[-tmin:], tr[-tmin:]
         if trues is None:
-            trues, lat = z["trues"], z["lat"]
+            trues, lat = tr, z["lat"]
+        elif align_tail:
+            assert trues.shape == tr.shape and np.allclose(trues, tr, atol=1e-2), (
+                f"{p}: val split tail differs beyond fp32 roundtrip"
+            )
         else:
-            assert np.allclose(trues, z["trues"]), f"{p}: val split differs"
-        members.append(z["preds"])
+            assert np.allclose(trues, tr), f"{p}: val split differs (try --align-tail)"
+        members.append(preds)
         per_member[os.path.basename(p)] = float(
-            kaggle_composite_score(z["preds"], trues, lat, OUTPUT_VARS)
+            kaggle_composite_score(preds, trues, lat, OUTPUT_VARS)
         )
 
     # f32 keeps the 5-9 member x 1021-month search tractable on the 1-core
@@ -196,4 +211,5 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not args:
         raise SystemExit(__doc__)
-    main(args, weighted="--weighted" in flags, holdout="--holdout" in flags)
+    main(args, weighted="--weighted" in flags, holdout="--holdout" in flags,
+         align_tail="--align-tail" in flags)

@@ -90,9 +90,10 @@ def main():
         "bf16 flagship at the full",
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803",
-        "final / 0.5736 best-epoch (wide cnn_transformer, cosine e300), 5-member",
-        "weighted+variance-calibrated ensemble **0.4703** (uniform 0.5822; split-half",
-        "holdout-validated — see the stacking section), feedback-trained flagship",
+        "final / 0.5736 best-epoch (wide cnn_transformer, cosine e300), 9-member",
+        "CROSS-FAMILY weighted+variance-calibrated ensemble **0.4495** (5 cnn_t +",
+        "4 flagship on the shared val tail; cnn_t-only stack 0.4703, uniform 0.58-0.61;",
+        "split-half holdout-validated — see the stacking sections), feedback-trained flagship",
         "0.6463 (teacher-forced) with a stable 85-year closed-loop rollout scored",
         "honestly below.",
         "",
@@ -323,8 +324,12 @@ def main():
 
     # --- weighted stacking + variance re-inflation (tools/ensemble_eval.py) ---
     for fname, title in [
+        ("ensemble_cross9_weighted.json",
+         "CROSS-FAMILY stack: 5 cnn_transformer + 4 flagship members on the shared "
+         "1021-month val tail (--align-tail) — the quality headline; the two model "
+         "families' errors decorrelate, so the stack beats either family alone"),
         ("ensemble_weighted_r3.json",
-         "cnn_transformer members, ensemble pipeline — the quality headline"),
+         "cnn_transformer members, ensemble pipeline"),
         ("ensemble_weighted_flagship_r3.json",
          "flagship 3-seed ensemble, final pipeline"),
     ]:
