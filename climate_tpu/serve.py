@@ -30,7 +30,8 @@ class Predictor:
     def __init__(self, model, variables, input_stats: tf.StatsMap, output_stats: tf.StatsMap,
                  seq_len: int | None = None, input_var_names: list[str] | None = None,
                  output_var_names: list[str] | None = None,
-                 calibration: dict[str, float] | None = None):
+                 calibration: dict[str, float] | None = None,
+                 is_ensemble: bool = False):
         self.model = model
         self.variables = variables
         self.input_stats = input_stats
@@ -41,7 +42,16 @@ class Predictor:
         # per-variable variance re-inflation alphas (eval/calibrate.py);
         # applied to time-series outputs (rollout) where a time mean exists
         self.calibration = dict(calibration or {})
-        self._forward = jax.jit(lambda v, x: model.apply(v, x))
+        # is_ensemble: variables carry a leading member axis (stacked same-
+        # architecture checkpoints); forward = vmap over members, mean of
+        # their predictions (see ensemble_from_checkpoints)
+        self._is_ensemble = bool(is_ensemble)
+        self._forward = jax.jit(self._apply)
+
+    def _apply(self, v, x):
+        if self._is_ensemble:
+            return jax.vmap(lambda vv: self.model.apply(vv, x))(v).mean(axis=0)
+        return self.model.apply(v, x)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -114,6 +124,25 @@ class Predictor:
                    input_var_names=channel_names, output_var_names=output_vars,
                    calibration=calibration or meta.get("calibration"))
 
+    @classmethod
+    def ensemble_from_checkpoints(cls, ckpt_paths: list[str], **kwargs) -> "Predictor":
+        """Serving-side ensemble: restore N same-architecture checkpoints,
+        stack their variables along a member axis, and predict/roll out the
+        MEMBER MEAN (rollout feeds the mean back — closed-loop ensembling,
+        same mechanism as cli/rollout.py rollout.extra_ckpts). Normalizer
+        stats and calibration come from the first checkpoint (the members
+        share a data config by construction; a structure mismatch between
+        member pytrees raises)."""
+        members = [cls.from_checkpoint(p, **kwargs) for p in ckpt_paths]
+        base = members[0]
+        if len(members) == 1:
+            return base
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[m.variables for m in members])
+        return cls(base.model, stacked, base.input_stats, base.output_stats,
+                   seq_len=base.seq_len, input_var_names=base.input_var_names,
+                   output_var_names=base.output_var_names,
+                   calibration=base.calibration, is_ensemble=True)
+
     # ------------------------------------------------------------------
     def predict(self, forcings, normalized: bool = False):
         """Forcings (B, [T,] H, W, C_in) physical units -> (B, H, W, C_out)
@@ -145,7 +174,7 @@ class Predictor:
         if not normalized:
             x = jnp.nan_to_num(tf.normalize(x, self.input_stats, channel_axis=-1), nan=0.0)
         run = rollout_jit(
-            lambda v, xx: self.model.apply(v, xx),
+            self._apply,
             seq_len=self.seq_len,
             feedback_slots=slots if feedback else None,
         )

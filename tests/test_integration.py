@@ -139,3 +139,22 @@ class TestServing:
         assert np.isfinite(out).all()
         # tas in a physical range
         assert 150 < out[..., 0].mean() < 350
+
+    def test_ensemble_predictor(self, run):
+        """ensemble_from_checkpoints with the same checkpoint twice must
+        reproduce the single predictor exactly (mean of identical members),
+        proving the stacked-vmap path end-to-end from restored checkpoints."""
+        from climate_tpu.serve import Predictor
+
+        exp, _, _ = run
+        ckpt = os.path.join(exp.run_dir, "checkpoints", "best")
+        kw = dict(model_type="SimpleCNN", model_kwargs={"init_dim": 8, "depth": 2},
+                  seasonal_embeddings=False, seq_len=None)
+        single = Predictor.from_checkpoint(ckpt, **kw)
+        ens = Predictor.ensemble_from_checkpoints([ckpt, ckpt], **kw)
+        assert ens._is_ensemble
+        forc = np.moveaxis(exp.bundle.test.inputs[:2], 1, -1).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(ens.predict(forc)), np.asarray(single.predict(forc)),
+            rtol=1e-6, atol=1e-6,
+        )

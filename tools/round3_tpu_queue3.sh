@@ -166,3 +166,20 @@ python tools/make_parity_report.py || true
 bash $W python bench.py > tools/parity/bench_rewarm3_r3.log 2>&1 || true
 tail -1 tools/parity/bench_rewarm3_r3.log
 echo "ROUND3 QUEUE3 DONE"
+
+# --- I. stack depth (appended): extra members for the cross-family weighted
+#        ensemble (PARITY.md 0.4495) — run only if time permits
+if [ ! -f tools/parity/jax_unet_convlstm_attention_final_cos300seed45_e300.json ]; then
+  PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine seed=45" \
+    bash $W python tools/parity_run.py --stack jax --model unet_convlstm_attention \
+    --pipeline final --epochs 300 --seq-len 6 --tag cos300seed45 --save-preds
+fi
+if [ ! -f tools/parity/jax_cnn_transformer_ensemble_cos300w256d6_e300.json ]; then
+  PARITY_EXTRA_OVERRIDES="training.lr_schedule=cosine seed=46" \
+    bash $W python tools/parity_run.py --stack jax --model cnn_transformer \
+    --pipeline ensemble --epochs 300 \
+    --model-kw '{"embed_dim": 256, "mlp_dim": 512, "depth": 6}' \
+    --tag "cos300w256d6" --save-preds
+fi
+python tools/make_parity_report.py || true
+echo "ROUND3 QUEUE3 STACK EXTRAS DONE"
