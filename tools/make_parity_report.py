@@ -263,6 +263,9 @@ def main():
          "jax_unet_convlstm_attention_final_fbchain2_e50"),
         ("prev-noise only (w=0, prev_noise=0.1)", "rollout_valwin_fbnoise.log",
          "jax_unet_convlstm_attention_final_fbnoise_e50"),
+        ("3-member closed-loop ensemble (feedback+fbbase+fbselfforce, "
+         "predictions averaged inside the scan; CPU run)", "rollout_valwin_ens3cpu.log",
+         "jax_unet_convlstm_attention_final_fbselfforce_e50"),
         ("3-member closed-loop ensemble (fbbase+fbselfforce+fbchain2, "
          "predictions averaged inside the scan)", "rollout_valwin_ens3.log",
          "jax_unet_convlstm_attention_final_fbselfforce_e50"),
@@ -297,6 +300,20 @@ def main():
             *vw,
             "",
         ]
+        cl = load_json("valwin_ens3cpu_calib.json")
+        if isinstance(cl, dict) and cl.get("second_half_calibrated"):
+            a = cl.get("alphas_fit_first_half", {})
+            lines += [
+                "Offline split-half calibration of the 3-member closed-loop ensemble",
+                "(tools/closed_loop_calibrate.py on the saved val-window arrays: variance",
+                f"re-inflation alphas fit on the first {cl['months']//2} rolled months, "
+                f"frozen on the last {cl['months']-cl['months']//2}):",
+                f"raw **{cl['second_half_raw']:.4f}** -> calibrated "
+                f"**{cl['second_half_calibrated']:.4f}** "
+                f"(alphas {', '.join(f'{k}={v}' for k, v in a.items())}; full-window raw "
+                f"{cl['full_raw']:.4f}).",
+                "",
+            ]
 
     # --- seed-ensemble results (tools/ensemble_eval.py) ---
     for fname, title in [
@@ -326,8 +343,14 @@ def main():
     for fname, title in [
         ("ensemble_cross9_weighted.json",
          "CROSS-FAMILY stack: 5 cnn_transformer + 4 flagship members on the shared "
-         "1021-month val tail (--align-tail) — the quality headline; the two model "
-         "families' errors decorrelate, so the stack beats either family alone"),
+         "1021-month val tail (--align-tail) — the FORCING-ONLY quality headline; the "
+         "two model families' errors decorrelate, so the stack beats either family alone"),
+        ("ensemble_cross12_weighted.json",
+         "12-member stack adding 3 feedback-trained members — a DIFFERENT SETTING, "
+         "reported separately: feedback members see the TRUE previous month's tas/pr "
+         "(teacher-forced prev_* channels), so this is 1-step-ahead emulation given "
+         "last month's observed state, not forcing-only emulation (pr puts 88% weight "
+         "on a feedback member for exactly this reason)"),
         ("ensemble_weighted_r3.json",
          "cnn_transformer members, ensemble pipeline"),
         ("ensemble_weighted_flagship_r3.json",
