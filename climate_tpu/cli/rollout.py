@@ -100,11 +100,26 @@ def main(argv: list[str] | None = None) -> dict:
         for p in extra_ckpts:
             member_vars.append(restore_state(p, exp.state).variables())
         variables = jax.tree.map(lambda *xs: jnp.stack(xs), *member_vars)
+        # rollout.member_weights=[w_main, w_extra0, ...]: convex blend instead
+        # of the uniform mean (e.g. inverse-solo-closed-loop-error weights);
+        # normalized here so callers can pass unnormalized scores.
+        weights = [float(w) for w in (roll_cfg.get("member_weights", []) or [])]
+        if weights:
+            if len(weights) != len(member_vars):
+                raise SystemExit(
+                    f"rollout.member_weights needs {len(member_vars)} values "
+                    f"(main + extras), got {len(weights)}"
+                )
+            w = jnp.asarray(weights, jnp.float32)
+            w = w / w.sum()
+        else:
+            w = jnp.full((len(member_vars),), 1.0 / len(member_vars), jnp.float32)
         log.info(f"Ensemble rollout: {len(member_vars)} members "
-                 f"(main ckpt + {len(extra_ckpts)} extra)")
+                 f"(main ckpt + {len(extra_ckpts)} extra), weights {list(map(float, w))}")
 
         def apply_fn(vv, x):
-            return jax.vmap(lambda v: exp.model.apply(v, x))(vv).mean(axis=0)
+            preds = jax.vmap(lambda v: exp.model.apply(v, x))(vv)  # (M, B, H, W, C)
+            return jnp.tensordot(w, preds.astype(jnp.float32), axes=1)
     else:
         def apply_fn(vv, x):
             return exp.model.apply(vv, x)

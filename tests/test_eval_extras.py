@@ -66,6 +66,21 @@ class TestRollout:
         mean_fb = np.asarray((fb(v1, forcings) + fb(v2, forcings)) / 2.0)
         assert not np.allclose(ens_fb, mean_fb, rtol=1e-4, atol=1e-4)
 
+        # weighted blend (cli/rollout.py rollout.member_weights): a one-hot
+        # weight vector must reproduce that member's solo feedback rollout
+        # exactly — the degenerate blend feeds back only member 1's preds
+        w = jnp.asarray([1.0, 0.0])
+
+        def w_apply(vv, x):
+            preds = jax.vmap(lambda v: m.apply(v, x))(vv)
+            return jnp.tensordot(w, preds.astype(jnp.float32), axes=1)
+
+        solo = np.asarray(fb(v1, forcings))
+        onehot = np.asarray(
+            rollout_jit(w_apply, seq_len=3, feedback_slots=slots)(stacked, forcings)
+        )
+        np.testing.assert_allclose(onehot, solo, rtol=2e-5, atol=2e-5)
+
     def test_feedback_rollout_differs_from_forced(self):
         """A feedback-trained model (7 = 5 forcings + prev_tas/prev_pr input
         channels): autoregressive feedback must change the trajectory."""

@@ -183,3 +183,37 @@ if [ ! -f tools/parity/jax_cnn_transformer_ensemble_cos300w256d6_e300.json ]; th
 fi
 python tools/make_parity_report.py || true
 echo "ROUND3 QUEUE3 STACK EXTRAS DONE"
+
+# --- K. weighted closed-loop ensemble (appended): convex member weights
+#        = inverse-squared SOLO closed-loop error (from the solo val-window
+#        logs), so the stronger self-forced members dominate the fed-back mean
+if [ -n "$CKPT_D" ] && [ -n "$CKPT_C" ] && [ ! -f tools/parity/rollout_valwin_ens4w.log ]; then
+  WEIGHTS=$(python - <<'PY'
+import json
+def s(p):
+    for line in reversed(open(p).read().splitlines()):
+        line = line.strip()
+        if line.startswith('{'):
+            try: return json.loads(line)['val_window_closed_loop_composite']
+            except Exception: continue
+    raise SystemExit(f'no composite in {p}')
+xs = [s('tools/parity/rollout_valwin_selfforce.log'),
+      s('tools/parity/rollout_valwin_base.log'),
+      s('tools/parity/rollout_valwin_fbchain2.log'),
+      s('tools/parity/rollout_valwin_fbnoise.log')]
+print('[' + ','.join(f'{1.0/x**2:.4f}' for x in xs) + ']')
+PY
+) || WEIGHTS=""
+  if [ -n "$WEIGHTS" ]; then
+    bash $W python -m climate_tpu.cli.rollout ckpt_path=$CKPT_B data=data_final \
+      model=unet_convlstm_attention 'data.feedback_vars=[tas,pr]' \
+      "rollout.extra_ckpts=[$CKPT_A,$CKPT_C,$CKPT_D]" \
+      "rollout.member_weights=$WEIGHTS" \
+      rollout.months=24 rollout.feedback=true \
+      rollout.val_window=true rollout.seed_history=true \
+      output_dir=/tmp/rollout_runs > tools/parity/rollout_valwin_ens4w.log 2>&1 || true
+    tail -2 tools/parity/rollout_valwin_ens4w.log
+  fi
+fi
+python tools/make_parity_report.py || true
+echo "ROUND3 QUEUE3 WEIGHTED-ENS DONE"
