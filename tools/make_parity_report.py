@@ -266,6 +266,9 @@ def main():
         ("3-member closed-loop ensemble (feedback+fbbase+fbselfforce, "
          "predictions averaged inside the scan; CPU run)", "rollout_valwin_ens3cpu.log",
          "jax_unet_convlstm_attention_final_fbselfforce_e50"),
+        ("3-member closed-loop ensemble, inverse-sq-solo-error weights "
+         "(rollout.member_weights; CPU run)", "rollout_valwin_ens3wcpu.log",
+         "jax_unet_convlstm_attention_final_fbselfforce_e50"),
         ("3-member closed-loop ensemble (fbbase+fbselfforce+fbchain2, "
          "predictions averaged inside the scan)", "rollout_valwin_ens3.log",
          "jax_unet_convlstm_attention_final_fbselfforce_e50"),
@@ -300,20 +303,25 @@ def main():
             *vw,
             "",
         ]
-        cl = load_json("valwin_ens3cpu_calib.json")
-        if isinstance(cl, dict) and cl.get("second_half_calibrated"):
-            a = cl.get("alphas_fit_first_half", {})
-            lines += [
-                "Offline split-half calibration of the 3-member closed-loop ensemble",
-                "(tools/closed_loop_calibrate.py on the saved val-window arrays: variance",
-                f"re-inflation alphas fit on the first {cl['months']//2} rolled months, "
-                f"frozen on the last {cl['months']-cl['months']//2}):",
-                f"raw **{cl['second_half_raw']:.4f}** -> calibrated "
-                f"**{cl['second_half_calibrated']:.4f}** "
-                f"(alphas {', '.join(f'{k}={v}' for k, v in a.items())}; full-window raw "
-                f"{cl['full_raw']:.4f}).",
-                "",
-            ]
+        for calib_file, calib_label in [
+            ("valwin_ens3cpu_calib.json", "uniform 3-member closed-loop ensemble"),
+            ("valwin_ens3wcpu_calib.json",
+             "inverse-sq-solo-error-weighted 3-member closed-loop ensemble"),
+        ]:
+            cl = load_json(calib_file)
+            if isinstance(cl, dict) and cl.get("second_half_calibrated"):
+                a = cl.get("alphas_fit_first_half", {})
+                lines += [
+                    f"Offline split-half calibration of the {calib_label}",
+                    "(tools/closed_loop_calibrate.py on the saved val-window arrays: variance",
+                    f"re-inflation alphas fit on the first {cl['months']//2} rolled months, "
+                    f"frozen on the last {cl['months']-cl['months']//2}):",
+                    f"raw **{cl['second_half_raw']:.4f}** -> calibrated "
+                    f"**{cl['second_half_calibrated']:.4f}** "
+                    f"(alphas {', '.join(f'{k}={v}' for k, v in a.items())}; full-window raw "
+                    f"{cl['full_raw']:.4f}).",
+                    "",
+                ]
 
     # --- seed-ensemble results (tools/ensemble_eval.py) ---
     for fname, title in [
