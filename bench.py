@@ -155,7 +155,52 @@ def baseline_samples_per_sec() -> float:
     return val
 
 
+LAST_TPU_RESULT = os.path.join(REPO, "tools", "parity", "bench_last_tpu.json")
+
+
+def _tpu_reachable(timeout_s: int = 120) -> bool:
+    """Probe the axon TPU in a BOUNDED subprocess. The axon plugin ignores
+    JAX_PLATFORMS and hangs indefinitely inside jax.devices() while the
+    remote worker is down (observed outages >9 h), so an in-process check
+    would hang the bench itself."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as j; "
+             "(j.ones((8,8)) @ j.ones((8,8))).block_until_ready(); "
+             "print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and "tpu" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    on_tpu_env = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
+    if on_tpu_env and not _tpu_reachable():
+        # TPU tunnel down (multi-hour axon outages happen): emit the last
+        # good TPU measurement EXPLICITLY marked stale instead of hanging
+        # forever inside backend init. Honest degradation, not a fresh claim.
+        if os.path.exists(LAST_TPU_RESULT):
+            with open(LAST_TPU_RESULT) as f:
+                prev = json.load(f)
+            prev["stale"] = True
+            prev["note"] = (
+                "TPU unreachable at measurement time; value is the most recent "
+                f"successful TPU run ({prev.get('measured_at', 'unknown time')})"
+            )
+            print(json.dumps(prev))
+            return
+        print(json.dumps({
+            "metric": "train_samples_per_sec", "value": None,
+            "unit": "samples/sec", "vs_baseline": None,
+            "error": "TPU unreachable and no cached TPU measurement exists",
+        }))
+        return
+
     ours = measure_jax()
     try:
         base = baseline_samples_per_sec()
@@ -169,6 +214,17 @@ def main() -> None:
         "vs_baseline": round(ours / base, 2) if base else None,
     }
     print(json.dumps(result))
+    # cache successful DEFAULT-config TPU runs for the stale-fallback path
+    import jax as _jax
+
+    defaults = (FUSED and GATHER == "mask" and BATCH == 64
+                and os.environ.get("CLIMATE_TPU_BENCH_DATA_BF16", "1") == "1")
+    if defaults and _jax.devices()[0].platform == "tpu":
+        import datetime
+
+        with open(LAST_TPU_RESULT, "w") as f:
+            json.dump({**result,
+                       "measured_at": datetime.datetime.utcnow().isoformat() + "Z"}, f)
 
 
 if __name__ == "__main__":
