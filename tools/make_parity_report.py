@@ -255,6 +255,9 @@ def main():
     for label, logname, runname in [
         ("teacher-forced training (baseline)", "rollout_valwin_base.log",
          "jax_unet_convlstm_attention_final_fbbase_e50"),
+        ("teacher-forced training (second seed-42 run, round-3 early)",
+         "rollout_valwin_fb0.log",
+         "jax_unet_convlstm_attention_final_feedback_e50"),
         ("self-forced training (2-step rollout loss, w=0.5)", "rollout_valwin_selfforce.log",
          "jax_unet_convlstm_attention_final_fbselfforce_e50"),
         ("chained self-forcing (k=2, w=0.5, prev_noise=0.05)", "rollout_valwin_fbchain2.log",
