@@ -288,6 +288,30 @@ class Experiment:
                          f"steps={sf_steps}, slots={sf_slots})")
             if prev_noise > 0.0:
                 log.info(f"Prev-channel noise injection on (std={prev_noise})")
+        # training.sched_sampling_epochs > 0: scheduled sampling — every
+        # chain prev-channel write keeps the model's own prediction with
+        # per-sample probability ramping 0 -> sched_sampling_max linearly
+        # over that many epochs (trainer.py sched_sampling_prob; derived
+        # from the traced step, so the ramp is one compile).
+        ss_epochs = float(tr_cfg.get("sched_sampling_epochs", 0) or 0)
+        ss_max = float(tr_cfg.get("sched_sampling_max", 1.0) or 1.0)
+        ss_ramp = 0
+        if ss_epochs > 0:
+            if sf_slots is None:
+                from ..eval.rollout import feedback_slots_from_names
+
+                sf_slots = feedback_slots_from_names(
+                    list(self.bundle.input_vars), list(self.output_vars)
+                )
+            if not sf_slots:
+                raise ValueError(
+                    "training.sched_sampling_epochs requires data.feedback_vars "
+                    "(prev_* input channels) — this model has none"
+                )
+            steps_per_epoch = -(-self.train_ds.n // self.batch_size)
+            ss_ramp = max(1, int(round(ss_epochs * steps_per_epoch)))
+            log.info(f"Scheduled sampling on (ramp={ss_ramp} steps "
+                     f"[{ss_epochs} epochs], p_max={ss_max})")
         mm_weight = float(self.cfg.get("training", {}).get("moment_loss_weight", 0.0) or 0.0)
         if mm_weight > 0.0:
             log.info(f"Distribution-moment loss on (weight={mm_weight})")
@@ -304,6 +328,7 @@ class Experiment:
             self.model, self.tx, self.mesh, seq_len=self.seq_len, has_batch_stats=has_bs,
             self_force_slots=sf_slots, self_force_weight=sf_weight,
             self_force_steps=sf_steps, prev_noise=prev_noise,
+            sched_sampling_ramp=ss_ramp, sched_sampling_max=ss_max,
             moment_loss_weight=mm_weight, window_mode=self.window_mode,
         )
 

@@ -39,6 +39,15 @@ def masked_mse(pred, target, mask):
     return jnp.sum(per_row * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def sched_sampling_prob(step, ramp: int, p_max: float):
+    """Scheduled-sampling probability at optimizer step `step`: linear ramp
+    0 -> p_max over `ramp` steps, then flat at p_max (Bengio et al. 2015,
+    inverted to the 'probability of using the model's own output' form).
+    Computed in-graph from the traced TrainState.step so the ramp costs no
+    extra compiled signature and works inside the fused-epoch lax.scan."""
+    return p_max * jnp.minimum(step.astype(jnp.float32) / float(max(ramp, 1)), 1.0)
+
+
 @dataclass
 class StepFunctions:
     """Compiled train/eval callables bound to a model + mesh + dataset layout."""
@@ -56,6 +65,8 @@ class StepFunctions:
               self_force_weight: float = 0.5,
               self_force_steps: int = 1,
               prev_noise: float = 0.0,
+              sched_sampling_ramp: int = 0,
+              sched_sampling_max: float = 1.0,
               moment_loss_weight: float = 0.0,
               window_mode: str = "mask"):
         """seq_len=None -> single-frame models; else sliding-window gather.
@@ -75,7 +86,17 @@ class StepFunctions:
         prev_noise > 0 (feedback models only) additionally perturbs the
         teacher-forced prev_<var> channels with N(0, prev_noise^2) noise in
         normalized space during training — cheap input-robustness against
-        the imperfect self-generated history a closed-loop rollout feeds."""
+        the imperfect self-generated history a closed-loop rollout feeds.
+
+        sched_sampling_ramp > 0 (feedback models only) turns the chain's
+        prev-channel writes into SCHEDULED SAMPLING: each write keeps the
+        model's own prediction with per-sample Bernoulli probability
+        p(step) = sched_sampling_max * min(1, step / ramp) and the teacher
+        value otherwise. Early training is (mostly) teacher-forced, late
+        training consumes its own history — a curriculum toward the
+        closed-loop regime. p is derived from the traced state.step, so no
+        train_step/train_epoch signature changes and one compile covers the
+        whole ramp."""
 
         if window_mode not in ("mask", "slice"):
             raise ValueError(f"window_mode must be 'mask' or 'slice', got {window_mode!r}")
@@ -141,11 +162,21 @@ class StepFunctions:
             raise ValueError("self_force_slots requires a sequence model (seq_len)")
         if self_force_steps < 1:
             raise ValueError(f"self_force_steps must be >= 1, got {self_force_steps}")
+        if sched_sampling_ramp < 0:
+            raise ValueError(f"sched_sampling_ramp must be >= 0, got {sched_sampling_ramp}")
+        if sched_sampling_ramp > 0 and not sf_slots:
+            raise ValueError("sched_sampling_ramp requires self_force_slots (feedback model)")
 
-        def _set_prev(x, frame, pred):
-            """Write pred's feedback channels into window frame's prev slots."""
+        def _set_prev(x, frame, pred, keep=None):
+            """Write pred's feedback channels into window frame's prev slots.
+            keep (B,) float, scheduled sampling only: 1 -> model prediction,
+            0 -> keep the teacher value already in x."""
             for out_c, in_c in sf_slots:
-                x = x.at[:, frame, :, :, in_c].set(pred[..., out_c].astype(x.dtype))
+                p = pred[..., out_c].astype(x.dtype)
+                if keep is not None:
+                    k = keep.astype(x.dtype)[:, None, None]
+                    p = k * p + (1.0 - k) * x[:, frame, :, :, in_c]
+                x = x.at[:, frame, :, :, in_c].set(p)
             return x
 
         def _noise_prev(x, rng):
@@ -155,15 +186,33 @@ class StepFunctions:
                 x = x.at[..., in_c].add(jnp.asarray(prev_noise, x.dtype) * n)
             return x
 
-        def self_force_loss_fn(params, batch_stats, x_all, y_all, idx, mask, rng):
+        def self_force_loss_fn(params, batch_stats, x_all, y_all, idx, mask, rng, step):
             # Chain: predict months idx-k .. idx-1 sequentially (k =
             # self_force_steps); window j's trailing frames carry the
             # chain's own predictions so far; frames beyond the chain keep
             # teacher forcing. k=1 is the 2-step hybrid of round 3 exactly.
+            # With sched_sampling_ramp > 0 every prev-channel write keeps
+            # the model prediction with per-sample probability p(step) and
+            # the teacher value otherwise (scheduled-sampling curriculum).
             k = self_force_steps
             bs_cur = batch_stats
             preds: list = []  # own predictions for months idx-k .. idx-1
             aux = 0.0
+            ss_p = (
+                sched_sampling_prob(step, sched_sampling_ramp, sched_sampling_max)
+                if sched_sampling_ramp > 0 else None
+            )
+            n_writes = 0
+
+            def _keep(r):
+                nonlocal n_writes
+                n_writes += 1
+                if ss_p is None:
+                    return None
+                return jax.random.bernoulli(
+                    jax.random.fold_in(r, 200 + n_writes), ss_p, idx.shape
+                )
+
             for j in range(k):
                 off = k - j  # this iteration predicts month idx-off
                 idx_j = jnp.maximum(idx - off, 0)
@@ -171,7 +220,7 @@ class StepFunctions:
                 if prev_noise > 0.0:
                     x_j = _noise_prev(x_j, jax.random.fold_in(rng, 100 + j))
                 for i, p in enumerate(reversed(preds[-(seq_len or 1):])):
-                    x_j = _set_prev(x_j, -(i + 1), p)
+                    x_j = _set_prev(x_j, -(i + 1), p, _keep(rng))
                 pred_j, bs_cur = forward(
                     params, bs_cur, x_j, jax.random.fold_in(rng, 1 + j), train=True
                 )
@@ -185,19 +234,22 @@ class StepFunctions:
             if prev_noise > 0.0:
                 x = _noise_prev(x, jax.random.fold_in(rng, 99))
             for i, p in enumerate(reversed(preds[-(seq_len or 1):])):
-                x = _set_prev(x, -(i + 1), p)
+                x = _set_prev(x, -(i + 1), p, _keep(rng))
             pred, new_bs = forward(params, bs_cur, x, rng, train=True)
             y = gather_frames(y_all, idx)
             loss = batch_loss(pred, y, mask) + self_force_weight * (aux / k)
             return loss, new_bs
 
-        use_self_force = bool(sf_slots) and self_force_weight > 0.0
+        use_self_force = bool(sf_slots) and (
+            self_force_weight > 0.0 or sched_sampling_ramp > 0
+        )
 
         def _step_body(state, x_all, y_all, idx, mask, rng):
             if use_self_force:
                 (loss, new_bs), grads = jax.value_and_grad(
                     self_force_loss_fn, has_aux=True
-                )(state.params, state.batch_stats, x_all, y_all, idx, mask, rng)
+                )(state.params, state.batch_stats, x_all, y_all, idx, mask, rng,
+                  state.step)
             else:
                 x = gather(x_all, idx)
                 if sf_slots and prev_noise > 0.0:  # noise-only robustness mode

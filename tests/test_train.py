@@ -308,10 +308,78 @@ class TestSelfForcing:
         assert losses["k3"] != pytest.approx(losses["k1"], rel=1e-6)
         assert losses["noise_only"] != pytest.approx(losses["clean"], rel=1e-6)
 
+    def test_sched_sampling_prob_ramp(self):
+        """p(step) ramps 0 -> p_max linearly over `ramp` steps, then flat."""
+        from climate_tpu.train.trainer import sched_sampling_prob
+
+        p = lambda s: float(sched_sampling_prob(jnp.asarray(s), 100, 0.8))
+        assert p(0) == pytest.approx(0.0)
+        assert p(50) == pytest.approx(0.4)
+        assert p(100) == pytest.approx(0.8)
+        assert p(10_000) == pytest.approx(0.8)
+
+    def test_sched_sampling_step(self, mesh8):
+        """Scheduled sampling (training.sched_sampling_epochs): at step 0 the
+        keep-probability is 0, so every prev write keeps the teacher value
+        and the main loss equals the plain self-force main loss with teacher
+        history; at a step far past the ramp (p=1) every write uses the
+        model's own prediction, matching self-forcing exactly. Both regimes
+        live in ONE compiled step (p is derived from the traced state.step)."""
+        rng = jax.random.PRNGKey(0)
+        model = AttUNetConvLSTM(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        x_ex = jnp.zeros((8, 3, 48, 72, 7))
+        data_x = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(1), (20, 48, 72, 7)))
+        data_y = replicate(mesh8, jax.random.normal(jax.random.PRNGKey(2), (20, 48, 72, 2)))
+        idx, mask = pad_batch(np.asarray([5, 7, 11, 19]), 8)
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+        slots = {0: 5, 1: 6}
+
+        def loss_at_step(fns, step):
+            state = replicate(mesh8, create_train_state(model, rng, x_ex, tx))
+            state = state.replace(step=jnp.asarray(step, state.step.dtype))
+            _, loss = fns.train_step(state, data_x, data_y, idx, mask, rng)
+            return float(loss)
+
+        fns_ss = StepFunctions.build(
+            model, tx, mesh8, seq_len=3, has_batch_stats=False,
+            self_force_slots=slots, self_force_weight=0.5,
+            sched_sampling_ramp=10, sched_sampling_max=1.0,
+        )
+        fns_sf = StepFunctions.build(
+            model, tx, mesh8, seq_len=3, has_batch_stats=False,
+            self_force_slots=slots, self_force_weight=0.5,
+        )
+        # past the ramp (p=1) scheduled sampling IS self-forcing
+        assert loss_at_step(fns_ss, 1000) == pytest.approx(
+            loss_at_step(fns_sf, 1000), rel=1e-6
+        )
+        # at step 0 (p=0) the prev writes keep teacher values -> differs
+        # from full self-forcing on the same state
+        assert loss_at_step(fns_ss, 0) != pytest.approx(
+            loss_at_step(fns_sf, 0), rel=1e-6
+        )
+        # sched_sampling alone (weight 0) is a valid configuration
+        fns_ss0 = StepFunctions.build(
+            model, tx, mesh8, seq_len=3, has_batch_stats=False,
+            self_force_slots=slots, self_force_weight=0.0,
+            sched_sampling_ramp=10,
+        )
+        assert np.isfinite(loss_at_step(fns_ss0, 5))
+
+    def test_sched_sampling_requires_slots(self, mesh8):
+        model = AttUNetConvLSTM(n_output_channels=2, base=8)
+        tx = build_optimizer(1e-3)
+        with pytest.raises(ValueError, match="sched_sampling_ramp requires"):
+            StepFunctions.build(
+                model, tx, mesh8, seq_len=3,
+                has_batch_stats=False, sched_sampling_ramp=10,
+            )
+
         with pytest.raises(ValueError, match="self_force_steps"):
             StepFunctions.build(
                 model, tx, mesh8, seq_len=3, has_batch_stats=False,
-                self_force_slots=slots, self_force_steps=0,
+                self_force_slots={0: 5}, self_force_steps=0,
             )
 
 
