@@ -271,23 +271,6 @@ class Experiment:
         sf_weight = float(tr_cfg.get("self_force_weight", 0.0) or 0.0)
         sf_steps = int(tr_cfg.get("self_force_steps", 1) or 1)
         prev_noise = float(tr_cfg.get("prev_noise", 0.0) or 0.0)
-        sf_slots = None
-        if sf_weight > 0.0 or prev_noise > 0.0:
-            from ..eval.rollout import feedback_slots_from_names
-
-            sf_slots = feedback_slots_from_names(
-                list(self.bundle.input_vars), list(self.output_vars)
-            )
-            if not sf_slots:
-                raise ValueError(
-                    "training.self_force_weight / training.prev_noise require "
-                    "data.feedback_vars (prev_* input channels) — this model has none"
-                )
-            if sf_weight > 0.0:
-                log.info(f"Self-forcing rollout loss on (weight={sf_weight}, "
-                         f"steps={sf_steps}, slots={sf_slots})")
-            if prev_noise > 0.0:
-                log.info(f"Prev-channel noise injection on (std={prev_noise})")
         # training.sched_sampling_epochs > 0: scheduled sampling — every
         # chain prev-channel write keeps the model's own prediction with
         # per-sample probability ramping 0 -> sched_sampling_max linearly
@@ -296,22 +279,40 @@ class Experiment:
         ss_epochs = float(tr_cfg.get("sched_sampling_epochs", 0) or 0)
         ss_max = float(tr_cfg.get("sched_sampling_max", 1.0) or 1.0)
         ss_ramp = 0
-        if ss_epochs > 0:
-            if sf_slots is None:
-                from ..eval.rollout import feedback_slots_from_names
+        sf_slots = None
+        if sf_weight > 0.0 or prev_noise > 0.0 or ss_epochs > 0:
+            from ..eval.rollout import feedback_slots_from_names
 
-                sf_slots = feedback_slots_from_names(
-                    list(self.bundle.input_vars), list(self.output_vars)
-                )
+            sf_slots = feedback_slots_from_names(
+                list(self.bundle.input_vars), list(self.output_vars)
+            )
             if not sf_slots:
                 raise ValueError(
-                    "training.sched_sampling_epochs requires data.feedback_vars "
+                    "training.self_force_weight / training.prev_noise / "
+                    "training.sched_sampling_epochs require data.feedback_vars "
                     "(prev_* input channels) — this model has none"
                 )
+            if sf_weight > 0.0:
+                log.info(f"Self-forcing rollout loss on (weight={sf_weight}, "
+                         f"steps={sf_steps}, slots={sf_slots})")
+            if prev_noise > 0.0:
+                log.info(f"Prev-channel noise injection on (std={prev_noise})")
+        if ss_epochs > 0:
             steps_per_epoch = -(-self.train_ds.n // self.batch_size)
             ss_ramp = max(1, int(round(ss_epochs * steps_per_epoch)))
             log.info(f"Scheduled sampling on (ramp={ss_ramp} steps "
                      f"[{ss_epochs} epochs], p_max={ss_max})")
+            # The ramp is anchored to the GLOBAL optimizer step: resuming a
+            # checkpoint whose step already exceeds the ramp starts training
+            # at p = p_max immediately, silently skipping the curriculum.
+            restored_step = int(self.restored_meta.get("step", 0) or 0)
+            if self.start_epoch > 0 and restored_step >= ss_ramp:
+                log.warning(
+                    f"Scheduled sampling enabled on resume, but the restored "
+                    f"optimizer step ({restored_step}) already exceeds the ramp "
+                    f"({ss_ramp} steps): training proceeds at p = p_max = "
+                    f"{ss_max} with no curriculum ramp."
+                )
         mm_weight = float(self.cfg.get("training", {}).get("moment_loss_weight", 0.0) or 0.0)
         if mm_weight > 0.0:
             log.info(f"Distribution-moment loss on (weight={mm_weight})")

@@ -166,6 +166,12 @@ class StepFunctions:
             raise ValueError(f"sched_sampling_ramp must be >= 0, got {sched_sampling_ramp}")
         if sched_sampling_ramp > 0 and not sf_slots:
             raise ValueError("sched_sampling_ramp requires self_force_slots (feedback model)")
+        if not 0.0 <= sched_sampling_max <= 1.0:
+            # jax.random.bernoulli silently accepts p outside [0,1] (all-True /
+            # all-False), so a config typo would train with a broken curriculum.
+            raise ValueError(
+                f"sched_sampling_max must be in [0, 1], got {sched_sampling_max}"
+            )
 
         def _set_prev(x, frame, pred, keep=None):
             """Write pred's feedback channels into window frame's prev slots.
