@@ -124,6 +124,37 @@ def main(argv: list[str] | None = None) -> dict:
         def apply_fn(vv, x):
             return exp.model.apply(vv, x)
 
+    # rollout.calibrate_history=true: in-scan variance re-inflation of the
+    # FED-BACK history (eval/rollout.py history_alphas) — the model's own
+    # under-dispersed predictions are re-dispersed around a causal running
+    # mean before re-entering the prev channels, keeping the history closer
+    # to the teacher-forced distribution training saw. Alphas come from the
+    # checkpoint meta (training.fit_calibration) or
+    # rollout.history_alphas=[a_<var0>, ...]; independent of the post-hoc
+    # scored-output calibration (rollout.calibrate) — the two compose.
+    history_alphas = None
+    if bool(roll_cfg.get("calibrate_history", False)) or roll_cfg.get("history_alphas"):
+        explicit_h = list(roll_cfg.get("history_alphas", []) or [])
+        if explicit_h:
+            if len(explicit_h) != len(exp.output_vars):
+                raise SystemExit(
+                    f"rollout.history_alphas needs {len(exp.output_vars)} values "
+                    f"(one per output var {list(exp.output_vars)}), got {explicit_h}"
+                )
+            h_map = {v: float(a) for v, a in zip(exp.output_vars, explicit_h)}
+        else:
+            h_map = dict(exp.restored_meta.get("calibration") or {})
+            if not h_map:
+                raise SystemExit(
+                    "rollout.calibrate_history=true needs alphas: train with "
+                    "training.fit_calibration=true or pass rollout.history_alphas=[...]"
+                )
+        if not feedback:
+            raise SystemExit("rollout.calibrate_history requires rollout.feedback=true")
+        history_alphas = [float(h_map.get(v, 1.0)) for v in exp.output_vars]
+        log.info(f"In-scan fed-back history calibration on (alphas {h_map}, "
+                 f"ema_decay={float(roll_cfg.get('history_ema_decay', 0.98))})")
+
     # seed_history reproduces the training-time clamp prev[0]=out[0] (ETL
     # stores the true month-0 output, not a zero, in frame 0's prev channel)
     # by placing the normalized true month-0 outputs in the last history row.
@@ -133,6 +164,8 @@ def main(argv: list[str] | None = None) -> dict:
         seq_len=seq_len,
         feedback_slots=slots if feedback else None,
         with_history=seed_history,
+        history_alphas=history_alphas,
+        history_ema_decay=float(roll_cfg.get("history_ema_decay", 0.98)),
     )
 
     def history_from_month0(targ_physical):

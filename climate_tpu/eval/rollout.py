@@ -38,6 +38,8 @@ def rollout(
     *,
     feedback_slots: dict[int, int] | None = None,
     init_history: jnp.ndarray | None = None,
+    history_alphas: jnp.ndarray | None = None,
+    history_ema_decay: float = 0.98,
 ):
     """Predict every month of a scenario with one compiled scan.
 
@@ -60,12 +62,27 @@ def rollout(
         window) with true outputs of the preceding months. Default zeros =
         the z-space mean — a train/inference mismatch at the horizon start
         that only matters for the first seq_len months (ADVICE round 2).
+      history_alphas: optional (C_out,) per-output-channel variance-inflation
+        factors applied to the FED-BACK history (not the returned
+        predictions): each history value is re-dispersed around a causal
+        per-pixel running mean, fed = m_t + alpha * (pred - m_t), where m_t
+        is a bias-corrected EMA of the scan's own predictions (the in-scan
+        analogue of eval/calibrate.py's post-hoc re-inflation, which needs
+        the full series and so can't run inside the scan). MSE-trained
+        models under-disperse, so the raw fed-back history is
+        out-of-distribution vs the teacher-forced history seen in training;
+        alpha > 1 restores the variability. None = feed raw (default).
+      history_ema_decay: EMA decay for the running mean m_t (0.98 at monthly
+        steps ~ a 4-year memory; bias-corrected so early months are the
+        plain mean of the predictions so far).
 
     Returns:
       (T_total, H, W, C_out) normalized predictions.
     """
     t_total, h, w, c_in = forcings.shape
     slots = dict(feedback_slots or {})
+    if history_alphas is not None:
+        history_alphas = jnp.asarray(history_alphas, jnp.float32)
 
     # left-pad so the window for month 0 is [0-pad..., frame0]
     padded = jnp.concatenate(
@@ -77,20 +94,42 @@ def rollout(
     )
     c_out = c_out_probe.shape[-1]
 
-    def step(carry, t):
-        # carry: (seq_len, H, W, C_out) — predictions for months
-        # t-seq_len .. t-1 (zeros before the horizon start: the mean in
-        # normalized z-space, matching the zero left-padding of training
-        # windows).
-        preds_hist = carry
+    def assemble_and_apply(preds_hist, fed, t):
         window = jax.lax.dynamic_slice_in_dim(padded, t, seq_len, axis=0)
         for out_c, in_c in slots.items():
             # frame k is month t-seq_len+1+k; its prev channel is the
-            # prediction for month t-seq_len+k = preds_hist[k]
-            window = window.at[..., in_c].set(preds_hist[..., out_c])
+            # prediction for month t-seq_len+k = fed[k]
+            window = window.at[..., in_c].set(fed[..., out_c])
         pred = apply_fn(variables, window[None])[0]  # (H, W, C_out)
         new_hist = jnp.concatenate([preds_hist[1:], pred[None]], axis=0)
         return new_hist, pred
+
+    if history_alphas is None:
+        def step(carry, t):
+            # carry: (seq_len, H, W, C_out) — predictions for months
+            # t-seq_len .. t-1 (zeros before the horizon start: the mean in
+            # normalized z-space, matching the zero left-padding of training
+            # windows).
+            new_hist, pred = assemble_and_apply(carry, carry, t)
+            return new_hist, pred
+    else:
+        def step(carry, t):
+            # carry additionally holds m_acc (H, W, C_out), the running-mean
+            # EMA accumulator for the in-scan history calibration.
+            preds_hist, m_acc = carry
+            # bias-corrected EMA of the scan's own predictions so far; at
+            # month t the correction 1 - d^t makes m_t the plain mean of
+            # the first few predictions instead of a zero-biased EMA.
+            d = jnp.float32(history_ema_decay)
+            m_t = m_acc / jnp.maximum(1.0 - d ** t.astype(jnp.float32), 1e-6)
+            fed = m_t[None] + history_alphas * (
+                preds_hist.astype(jnp.float32) - m_t[None]
+            )
+            new_hist, pred = assemble_and_apply(
+                preds_hist, fed.astype(preds_hist.dtype), t
+            )
+            m_acc = d * m_acc + (1.0 - d) * pred.astype(jnp.float32)
+            return (new_hist, m_acc), pred
 
     if init_history is None:
         init = jnp.zeros((seq_len, h, w, c_out), c_out_probe.dtype)
@@ -100,23 +139,31 @@ def rollout(
             raise ValueError(
                 f"init_history shape {init.shape} != {(seq_len, h, w, c_out)}"
             )
-    _, preds = jax.lax.scan(step, init, jnp.arange(t_total))
+    carry0 = init if history_alphas is None else (
+        init, jnp.zeros((h, w, c_out), jnp.float32)
+    )
+    _, preds = jax.lax.scan(step, carry0, jnp.arange(t_total))
     return preds
 
 
 def rollout_jit(apply_fn, seq_len: int, feedback_slots: dict[int, int] | None = None,
-                with_history: bool = False):
+                with_history: bool = False,
+                history_alphas=None, history_ema_decay: float = 0.98):
     """jit-wrapped rollout with static window config. with_history adds an
-    init_history positional arg (seed the feedback buffer, see rollout())."""
+    init_history positional arg (seed the feedback buffer); history_alphas
+    turns on in-scan calibration of the fed-back history (see rollout())."""
     slots = tuple(sorted((feedback_slots or {}).items()))
+    alphas = None if history_alphas is None else jnp.asarray(history_alphas, jnp.float32)
 
     if with_history:
         def run(variables, forcings, init_history):
             return rollout(apply_fn, variables, forcings, seq_len,
-                           feedback_slots=dict(slots), init_history=init_history)
+                           feedback_slots=dict(slots), init_history=init_history,
+                           history_alphas=alphas, history_ema_decay=history_ema_decay)
     else:
         def run(variables, forcings):
-            return rollout(apply_fn, variables, forcings, seq_len, feedback_slots=dict(slots))
+            return rollout(apply_fn, variables, forcings, seq_len, feedback_slots=dict(slots),
+                           history_alphas=alphas, history_ema_decay=history_ema_decay)
 
     return jax.jit(run)
 

@@ -130,6 +130,57 @@ class TestRollout:
             want.append(pred)
         np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-6)
 
+    def test_history_calibration_matches_manual_loop(self):
+        """In-scan fed-back-history calibration (rollout history_alphas):
+        alpha=1 must reproduce the raw feedback rollout exactly; alpha!=1
+        must match a manual loop that re-disperses each fed value around the
+        bias-corrected EMA of the scan's own predictions."""
+        from climate_tpu.eval.rollout import rollout_jit
+
+        seq, t_tot, h, w = 3, 6, 2, 2
+        c_in = 4
+        slots = {0: 2, 1: 3}
+        decay = 0.9
+
+        def apply_fn(v, x):
+            win = x[0]
+            pred = win[..., :2].mean(axis=0) * 0.5 + win[..., 2:4].mean(axis=0) * 0.25 + 0.1
+            return pred[None]
+
+        forcings = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2), (t_tot, h, w, c_in)), np.float32
+        )
+        raw = np.asarray(rollout_jit(apply_fn, seq_len=seq, feedback_slots=slots)(
+            {}, jnp.asarray(forcings)))
+        ident = np.asarray(rollout_jit(
+            apply_fn, seq_len=seq, feedback_slots=slots,
+            history_alphas=[1.0, 1.0], history_ema_decay=decay,
+        )({}, jnp.asarray(forcings)))
+        np.testing.assert_allclose(ident, raw, rtol=1e-6, atol=1e-7)
+
+        alphas = np.asarray([1.2, 0.8], np.float32)
+        got = np.asarray(rollout_jit(
+            apply_fn, seq_len=seq, feedback_slots=slots,
+            history_alphas=alphas, history_ema_decay=decay,
+        )({}, jnp.asarray(forcings)))
+
+        padded = np.concatenate([np.zeros((seq - 1, h, w, c_in), np.float32), forcings])
+        hist = np.zeros((seq, h, w, 2), np.float32)
+        m_acc = np.zeros((h, w, 2), np.float32)
+        want = []
+        for t in range(t_tot):
+            m_t = m_acc / max(1.0 - decay ** t, 1e-6)
+            fed = m_t[None] + alphas * (hist - m_t[None])
+            win = padded[t : t + seq].copy()
+            for oc, ic in slots.items():
+                win[..., ic] = fed[..., oc]
+            pred = win[..., :2].mean(axis=0) * 0.5 + win[..., 2:4].mean(axis=0) * 0.25 + 0.1
+            hist = np.concatenate([hist[1:], pred[None]])
+            m_acc = decay * m_acc + (1.0 - decay) * pred
+            want.append(pred)
+        np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-6)
+        assert not np.allclose(got, raw, rtol=1e-4, atol=1e-4)
+
     def test_feedback_slots_from_names(self):
         from climate_tpu.eval.rollout import feedback_slots_from_names
 
