@@ -33,8 +33,9 @@ FUSED = os.environ.get("CLIMATE_TPU_BENCH_FUSED", "1") == "1"
 SCAN_BATCHES = int(os.environ.get("CLIMATE_TPU_BENCH_SCAN_BATCHES", "32"))
 # Window gather strategy: "slice" = contiguous slice-size-T gather over a
 # once-padded dataset (dataset.py::gather_windows_slice); "mask" = the
-# original B*T row gather + zero-mask multiply. Default follows the in-situ
-# A/B (tools/parity/bench_slice_*_r3.log).
+# original B*T row gather + zero-mask multiply. mask won the in-situ A/B
+# (per-step bf16-stored: 6214 vs 6156 samples/s; slice+fused OOMs the remote
+# compiler — tools/parity/bench_slice_*_r3.log), so it stays the default.
 GATHER = os.environ.get("CLIMATE_TPU_BENCH_GATHER", "mask")
 
 
