@@ -376,6 +376,16 @@ class TestSelfForcing:
                 has_batch_stats=False, sched_sampling_ramp=10,
             )
 
+        # p outside [0,1] would make jax.random.bernoulli silently produce
+        # all-True/all-False — reject at build time (ADVICE round 3)
+        for bad in (1.5, -0.2):
+            with pytest.raises(ValueError, match="sched_sampling_max"):
+                StepFunctions.build(
+                    model, tx, mesh8, seq_len=3, has_batch_stats=False,
+                    self_force_slots={0: 5}, sched_sampling_ramp=10,
+                    sched_sampling_max=bad,
+                )
+
         with pytest.raises(ValueError, match="self_force_steps"):
             StepFunctions.build(
                 model, tx, mesh8, seq_len=3, has_batch_stats=False,
