@@ -123,15 +123,20 @@ def measure_jax() -> float:
         # streaming-bandwidth probe: y = a*x + b over 256 Mi fp32 elements
         # (1 GiB read + 1 GiB write) — the achievable HBM rate for perfectly
         # coalesced traffic, i.e. the denominator of an honest byte roofline.
+        # 16 chained iterations INSIDE one jitted fori_loop: one dispatch, so
+        # the tunnel's per-call latency is amortized ~16x (a python loop of
+        # dependent dispatches measured only ~216 GB/s on a chip whose HBM
+        # peak is 819 — that was dispatch latency, not memory).
         big = jax.device_put(jnp.ones((256 * 1024 * 1024,), jnp.float32))
-        saxpy = jax.jit(lambda v: v * 1.0001 + 0.5)
+        reps_bw = 16
+        saxpy = jax.jit(lambda v: jax.lax.fori_loop(
+            0, reps_bw, lambda _, x: x * 1.0001 + 0.5, v))
         out = saxpy(big)
         _ = _np.asarray(out.ravel()[-1:])  # sync
         t0 = time.perf_counter()
-        for _ in range(4):
-            out = saxpy(out)
+        out = saxpy(out)
         _ = _np.asarray(out.ravel()[-1:])
-        bw = 4 * 2 * big.nbytes / (time.perf_counter() - t0)
+        bw = reps_bw * 2 * big.nbytes / (time.perf_counter() - t0)
 
         flops = float(ca.get("flops", 0.0))
         bytes_acc = float(ca.get("bytes accessed", 0.0))
