@@ -37,6 +37,11 @@ SCAN_BATCHES = int(os.environ.get("CLIMATE_TPU_BENCH_SCAN_BATCHES", "32"))
 # (per-step bf16-stored: 6214 vs 6156 samples/s; slice+fused OOMs the remote
 # compiler — tools/parity/bench_slice_*_r3.log), so it stays the default.
 GATHER = os.environ.get("CLIMATE_TPU_BENCH_GATHER", "mask")
+# K>1: multi-member vmap training — K independent members in ONE jitted
+# step (stacked params; trainer.py n_members). The step is kernel-count
+# latency-bound at batch 64 (PARITY.md roofline), so members multiply useful
+# work per kernel; reported samples/s is the AGGREGATE across members.
+MEMBERS = int(os.environ.get("CLIMATE_TPU_BENCH_MEMBERS", "1"))
 
 
 def measure_jax() -> float:
@@ -71,10 +76,17 @@ def measure_jax() -> float:
     tx = build_optimizer(5e-4)
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((batch, SEQ_LEN, 48, 72, 7), jnp.float32)
-    state = replicate(mesh, create_train_state(model, rng, example, tx))
+    if MEMBERS > 1:
+        from climate_tpu.train.state import create_member_states
+
+        state = replicate(mesh, create_member_states(
+            model, [jax.random.PRNGKey(i) for i in range(MEMBERS)], example, tx
+        ))
+    else:
+        state = replicate(mesh, create_train_state(model, rng, example, tx))
     fns = StepFunctions.build(
         model, tx, mesh, seq_len=SEQ_LEN,
-        has_batch_stats=False, window_mode=GATHER,
+        has_batch_stats=False, window_mode=GATHER, n_members=MEMBERS,
     )
 
     # device-resident synthetic dataset sized like the real final split.
@@ -99,6 +111,9 @@ def measure_jax() -> float:
     # measures the training step itself, not host RNG/pad work (which the
     # production path amortizes via the fused-epoch scan anyway).
     def make_batch():
+        if MEMBERS > 1:
+            idx = host_rng.integers(0, n_frames, size=(MEMBERS, batch)).astype(np.int32)
+            return jnp.asarray(idx), jnp.ones((MEMBERS, batch), jnp.float32)
         idx_p, mask = pad_batch(host_rng.integers(0, n_frames, size=batch), batch)
         return jnp.asarray(idx_p), jnp.asarray(mask)
 
@@ -121,22 +136,32 @@ def measure_jax() -> float:
         n_fusions = hlo.count(" fusion(")
 
         # streaming-bandwidth probe: y = a*x + b over 256 Mi fp32 elements
-        # (1 GiB read + 1 GiB write) — the achievable HBM rate for perfectly
-        # coalesced traffic, i.e. the denominator of an honest byte roofline.
-        # 16 chained iterations INSIDE one jitted fori_loop: one dispatch, so
-        # the tunnel's per-call latency is amortized ~16x (a python loop of
-        # dependent dispatches measured only ~216 GB/s on a chip whose HBM
-        # peak is 819 — that was dispatch latency, not memory).
+        # (1 GiB read + 1 GiB write per rep) — the achievable HBM rate for
+        # perfectly coalesced traffic, i.e. the denominator of an honest byte
+        # roofline. TWO-POINT SLOPE measurement (VERDICT r4 weak #3): a single
+        # timed call still carries a constant overhead (axon tunnel round-trip
+        # + dispatch, tens of ms — comparable to the ~40 ms the traffic itself
+        # takes at peak), which made the one-shot probe read 216-260 GB/s on
+        # an 819 GB/s chip. Timing the SAME program at two rep counts and
+        # taking bytes_delta / time_delta cancels every constant term exactly.
         big = jax.device_put(jnp.ones((256 * 1024 * 1024,), jnp.float32))
-        reps_bw = 16
-        saxpy = jax.jit(lambda v: jax.lax.fori_loop(
-            0, reps_bw, lambda _, x: x * 1.0001 + 0.5, v))
-        out = saxpy(big)
-        _ = _np.asarray(out.ravel()[-1:])  # sync
-        t0 = time.perf_counter()
-        out = saxpy(out)
-        _ = _np.asarray(out.ravel()[-1:])
-        bw = reps_bw * 2 * big.nbytes / (time.perf_counter() - t0)
+
+        def timed_saxpy(reps: int) -> float:
+            f = jax.jit(lambda v: jax.lax.fori_loop(
+                0, reps, lambda _, x: x * 1.0001 + 0.5, v))
+            out = f(big)
+            _ = _np.asarray(out.ravel()[-1:])  # warm + sync
+            best = float("inf")
+            for _i in range(3):
+                t0 = time.perf_counter()
+                out = f(big)
+                _ = _np.asarray(out.ravel()[-1:])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        r_lo, r_hi = 8, 72
+        t_lo, t_hi = timed_saxpy(r_lo), timed_saxpy(r_hi)
+        bw = (r_hi - r_lo) * 2 * big.nbytes / max(t_hi - t_lo, 1e-9)
 
         flops = float(ca.get("flops", 0.0))
         bytes_acc = float(ca.get("bytes accessed", 0.0))
@@ -158,11 +183,11 @@ def measure_jax() -> float:
     if FUSED:
         import numpy as _np
 
+        shape = (SCAN_BATCHES, MEMBERS, batch) if MEMBERS > 1 else (SCAN_BATCHES, batch)
         idx_mat = jnp.asarray(
-            _np.stack([host_rng.integers(0, n_frames, size=batch).astype(_np.int32)
-                       for _ in range(SCAN_BATCHES)])
+            host_rng.integers(0, n_frames, size=shape).astype(_np.int32)
         )
-        mask_mat = jnp.ones((SCAN_BATCHES, batch), jnp.float32)
+        mask_mat = jnp.ones(shape, jnp.float32)
         for _ in range(2):  # warmup (first call compiles / loads cache)
             state, (loss_seq, _g) = fns.train_epoch(state, data_x, data_y, idx_mat, mask_mat, rng)
         _ = _np.asarray(loss_seq)  # host pull = true sync
@@ -172,20 +197,20 @@ def measure_jax() -> float:
             state, (loss_seq, _g) = fns.train_epoch(state, data_x, data_y, idx_mat, mask_mat, rng)
         _ = _np.asarray(loss_seq)
         dt = time.perf_counter() - t0
-        return batch * SCAN_BATCHES * reps / dt
+        return MEMBERS * batch * SCAN_BATCHES * reps / dt
 
     batches = [make_batch() for _ in range(WARMUP + STEPS)]
 
     for idx_p, mask in batches[:WARMUP]:
         state, loss = fns.train_step(state, data_x, data_y, idx_p, mask, rng)
-    _ = float(loss)  # host-visible sync (axon block_until_ready is unreliable)
+    _ = np.asarray(loss)  # host-visible sync (axon block_until_ready is unreliable)
 
     t0 = time.perf_counter()
     for idx_p, mask in batches[WARMUP:]:
         state, loss = fns.train_step(state, data_x, data_y, idx_p, mask, rng)
-    _ = float(loss)  # forces completion of the full dependency chain
+    _ = np.asarray(loss)  # forces completion of the full dependency chain
     dt = time.perf_counter() - t0
-    return batch * STEPS / dt
+    return MEMBERS * batch * STEPS / dt
 
 
 def baseline_samples_per_sec() -> float:
@@ -212,24 +237,32 @@ def baseline_samples_per_sec() -> float:
 LAST_TPU_RESULT = os.path.join(REPO, "tools", "parity", "bench_last_tpu.json")
 
 
-def _tpu_reachable(timeout_s: int = 120) -> bool:
-    """Probe the axon TPU in a BOUNDED subprocess. The axon plugin ignores
-    JAX_PLATFORMS and hangs indefinitely inside jax.devices() while the
-    remote worker is down (observed outages >9 h), so an in-process check
-    would hang the bench itself."""
-    import subprocess
+def _cache_default_result(value: float) -> None:
+    """Record a successful DEFAULT-config TPU measurement for the
+    stale-fallback path. Called from both the parent (full driver format)
+    and the --measure subprocess (so compile-cache rewarms refresh the
+    fallback too — round-5 lesson: the rewarm measured 6,590 samples/s
+    live but the cache still served a day-old number)."""
+    from datetime import datetime, timezone
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as j; "
-             "(j.ones((8,8)) @ j.ones((8,8))).block_until_ready(); "
-             "print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return r.returncode == 0 and "tpu" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    base = None
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            base = float(json.load(f)["train_samples_per_sec"])
+    with open(LAST_TPU_RESULT, "w") as f:
+        json.dump({
+            "metric": "train_samples_per_sec",
+            "value": round(value, 2),
+            "unit": "samples/sec",
+            "vs_baseline": round(value / base, 2) if base else None,
+            "measured_at": datetime.now(timezone.utc)
+            .isoformat().replace("+00:00", "Z"),
+        }, f)
+
+
+def _is_default_config() -> bool:
+    return (FUSED and GATHER == "mask" and BATCH == 64 and MEMBERS == 1
+            and os.environ.get("CLIMATE_TPU_BENCH_DATA_BF16", "1") == "1")
 
 
 def _emit_stale_fallback(reason: str) -> None:
@@ -287,24 +320,34 @@ def _measure_bounded(budget_s: int) -> float | None:
 def main() -> None:
     if "--measure" in sys.argv:
         # subprocess mode: measure and print one parseable line; the parent
-        # owns baselines, caching, and the stale fallback.
-        print(json.dumps({"samples_per_sec": measure_jax()}), flush=True)
+        # owns baselines and the stale fallback. Successful default-config
+        # TPU runs refresh the fallback cache here too, so queue rewarms
+        # (which call --measure directly) keep it fresh.
+        val = measure_jax()
+        print(json.dumps({"samples_per_sec": val}), flush=True)
+        if _is_default_config():
+            import jax
+
+            if jax.devices()[0].platform == "tpu":
+                _cache_default_result(val)
         return
 
     on_tpu_env = os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
-    if on_tpu_env and not _tpu_reachable():
-        _emit_stale_fallback("TPU unreachable at measurement time")
-        return
 
     # End-to-end measurement budget, kept well under the driver's timeout so
     # the fallback line below always gets printed. A warm-cache run finishes
     # in ~1-2 min; only a cold compile (~20 min) or a TPU stall exceeds this.
+    # No separate reachability pre-probe: the bounded subprocess covers the
+    # hung-backend case too, and on this 1-core host a short pre-probe
+    # starves under CPU contention and false-negatives into a stale emit
+    # while the TPU is actually fine (observed round 5, 08:11Z).
     budget_s = int(os.environ.get("CLIMATE_TPU_BENCH_BUDGET_S", "480"))
     if on_tpu_env:
         ours = _measure_bounded(budget_s)
         if ours is None:
             _emit_stale_fallback(
-                f"measurement exceeded {budget_s}s budget (TPU stall or cold compile)"
+                f"measurement exceeded {budget_s}s budget "
+                "(TPU unreachable/stalled or cold compile)"
             )
             return
     else:
@@ -323,15 +366,8 @@ def main() -> None:
     }
     print(json.dumps(result))
     # cache successful DEFAULT-config TPU runs for the stale-fallback path
-    defaults = (FUSED and GATHER == "mask" and BATCH == 64
-                and os.environ.get("CLIMATE_TPU_BENCH_DATA_BF16", "1") == "1")
-    if defaults and on_tpu_env:
-        from datetime import datetime, timezone
-
-        with open(LAST_TPU_RESULT, "w") as f:
-            json.dump({**result,
-                       "measured_at": datetime.now(timezone.utc)
-                       .isoformat().replace("+00:00", "Z")}, f)
+    if _is_default_config() and on_tpu_env:
+        _cache_default_result(ours)
 
 
 if __name__ == "__main__":

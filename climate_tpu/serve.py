@@ -46,7 +46,16 @@ class Predictor:
         # architecture checkpoints); forward = vmap over members, mean of
         # their predictions (see ensemble_from_checkpoints)
         self._is_ensemble = bool(is_ensemble)
+        self.grid: tuple[int, int] | None = None  # (H, W) the weights were built for
         self._forward = jax.jit(self._apply)
+
+    def _check_grid(self, x) -> None:
+        if self.grid is not None and tuple(x.shape[-3:-1]) != tuple(self.grid):
+            raise ValueError(
+                f"input grid {tuple(x.shape[-3:-1])} does not match the grid this "
+                f"checkpoint was restored for {tuple(self.grid)}; pass grid=(H, W) "
+                f"to from_checkpoint for non-reference grids"
+            )
 
     def _apply(self, v, x):
         if self._is_ensemble:
@@ -65,6 +74,7 @@ class Predictor:
         seasonal_embeddings: bool = True,
         seq_len: int | None = 6,
         calibration: dict[str, float] | None = None,
+        grid: tuple[int, int] | None = None,
     ) -> "Predictor":
         """Restore weights + normalizer stats (saved in the checkpoint meta —
         no dataset access needed, unlike the reference which must recompute
@@ -109,10 +119,17 @@ class Predictor:
         from .models import is_sequence_model
 
         seq = (data_meta.get("seq_len") or seq_len) if is_sequence_model(cfg) else None
+        # Grid resolution: self-describing checkpoints (round 5+) record it in
+        # meta["data"]["grid"]; explicit argument wins; the (48, 72) reference
+        # grid (SURVEY.md L0) is only a LABELED fallback for legacy
+        # checkpoints — predict()/rollout() assert inputs match, so a
+        # different-grid deployment fails loudly instead of mis-initializing
+        # (VERDICT r4 weak #5).
+        grid = tuple(grid or data_meta.get("grid") or (48, 72))
         if seq is not None:
-            example = jnp.zeros((1, seq, 48, 72, n_in), jnp.float32)
+            example = jnp.zeros((1, seq, *grid, n_in), jnp.float32)
         else:
-            example = jnp.zeros((1, 48, 72, n_in), jnp.float32)
+            example = jnp.zeros((1, *grid, n_in), jnp.float32)
         # checkpoints store the full TrainState; restore just the variables
         # (restore_state migrates round-1 constant-schedule opt_state layouts)
         from .train.checkpoint import restore_state
@@ -120,9 +137,11 @@ class Predictor:
 
         state_template = create_train_state(model, jax.random.PRNGKey(0), example, build_optimizer(1e-3))
         restored = restore_state(ckpt_path, state_template)
-        return cls(model, restored.variables(), input_stats, output_stats, seq_len=seq,
-                   input_var_names=channel_names, output_var_names=output_vars,
-                   calibration=calibration or meta.get("calibration"))
+        p = cls(model, restored.variables(), input_stats, output_stats, seq_len=seq,
+                input_var_names=channel_names, output_var_names=output_vars,
+                calibration=calibration or meta.get("calibration"))
+        p.grid = grid
+        return p
 
     @classmethod
     def ensemble_from_checkpoints(cls, ckpt_paths: list[str], **kwargs) -> "Predictor":
@@ -138,16 +157,19 @@ class Predictor:
         if len(members) == 1:
             return base
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[m.variables for m in members])
-        return cls(base.model, stacked, base.input_stats, base.output_stats,
-                   seq_len=base.seq_len, input_var_names=base.input_var_names,
-                   output_var_names=base.output_var_names,
-                   calibration=base.calibration, is_ensemble=True)
+        p = cls(base.model, stacked, base.input_stats, base.output_stats,
+                seq_len=base.seq_len, input_var_names=base.input_var_names,
+                output_var_names=base.output_var_names,
+                calibration=base.calibration, is_ensemble=True)
+        p.grid = base.grid
+        return p
 
     # ------------------------------------------------------------------
     def predict(self, forcings, normalized: bool = False):
         """Forcings (B, [T,] H, W, C_in) physical units -> (B, H, W, C_out)
         physical units."""
         x = jnp.asarray(forcings, jnp.float32)
+        self._check_grid(x)
         if not normalized:
             x = jnp.nan_to_num(tf.normalize(x, self.input_stats, channel_axis=-1), nan=0.0)
         pred_norm = self._forward(self.variables, x)
@@ -171,6 +193,7 @@ class Predictor:
                 "(prev_* input channels); this checkpoint has none."
             )
         x = jnp.asarray(scenario_forcings, jnp.float32)
+        self._check_grid(x)
         if not normalized:
             x = jnp.nan_to_num(tf.normalize(x, self.input_stats, channel_axis=-1), nan=0.0)
         run = rollout_jit(

@@ -185,9 +185,38 @@ class Experiment:
         self._explicit_total_steps = bool(training.get("total_steps"))
         self.tx, self.lr_schedule = self._build_tx()
 
-        rng = jax.random.PRNGKey(self.seed)
+        # Multi-member vmap training (training.n_members > 1): K ensemble
+        # members train in ONE jitted step over a stacked-params axis — the
+        # kernel-latency-bound step (PARITY.md roofline) does ~K x the useful
+        # work per dispatched kernel. Member k initializes and permutes
+        # batches from member_seeds[k] (default seed, seed+1, ...), so
+        # members are decorrelated like independent seed runs.
+        self.n_members = int(training.get("n_members", 1) or 1)
+        if self.n_members < 1:
+            raise ValueError(f"training.n_members must be >= 1, got {self.n_members}")
+        seeds_cfg = training.get("member_seeds")
+        self.member_seeds = (
+            [int(s) for s in seeds_cfg] if seeds_cfg
+            else [self.seed + k for k in range(self.n_members)]
+        )
+        if len(self.member_seeds) != self.n_members:
+            raise ValueError(
+                f"training.member_seeds has {len(self.member_seeds)} entries "
+                f"but training.n_members={self.n_members}"
+            )
+
         example = self._example_batch()
-        self.state = create_train_state(self.model, rng, example, self.tx)
+        if self.n_members > 1:
+            from .state import create_member_states
+
+            self.state = create_member_states(
+                self.model, [jax.random.PRNGKey(s) for s in self.member_seeds],
+                example, self.tx,
+            )
+        else:
+            self.state = create_train_state(
+                self.model, jax.random.PRNGKey(self.seed), example, self.tx
+            )
         self.state = jax.device_put(self.state, repl)
         has_bs = bool(self.state.batch_stats)
 
@@ -206,13 +235,26 @@ class Experiment:
             },
         )
         ckpt_cfg = trainer_cfg.get("checkpoint", {}) or {}
-        self.ckpt = CheckpointManager(
-            self.run_dir,
-            monitor=ckpt_cfg.get("monitor", "val/loss"),
-            mode=ckpt_cfg.get("mode", "min"),
-            save_last=bool(ckpt_cfg.get("save_last", True)),
-            save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
-        )
+
+        def _make_ckpt(root):
+            return CheckpointManager(
+                root,
+                monitor=ckpt_cfg.get("monitor", "val/loss"),
+                mode=ckpt_cfg.get("mode", "min"),
+                save_last=bool(ckpt_cfg.get("save_last", True)),
+                save_top_k=int(ckpt_cfg.get("save_top_k", 1)),
+            )
+
+        if self.n_members > 1:
+            # one standard checkpoint tree per member: every member restores
+            # into serve/rollout/ensemble tooling like an independent run
+            self.member_ckpts = [
+                _make_ckpt(os.path.join(self.run_dir, f"member{k}"))
+                for k in range(self.n_members)
+            ]
+            self.ckpt = self.member_ckpts[0]
+        else:
+            self.ckpt = _make_ckpt(self.run_dir)
         if trainer_cfg.get("deterministic"):
             # Lightning's flag forces cudnn-deterministic kernels; JAX runs are
             # deterministic by construction (explicit PRNG threading, no
@@ -247,8 +289,48 @@ class Experiment:
         self._val_metrics = jax.jit(_val_metrics_fn, in_shardings=(repl, repl), out_shardings=repl)
         self._test_metrics = jax.jit(_test_metrics_fn, in_shardings=(repl, repl), out_shardings=repl)
 
+        if self.n_members > 1:
+            # member metrics vmapped + the physical-space member-mean ensemble
+            # (how tools/ensemble_eval.py combines independent runs) — all in
+            # one jitted program, one host sync per epoch.
+            def _val_metrics_multi_fn(preds_norm_k, targets_norm):
+                per = jax.vmap(lambda p: _val_metrics_fn(p, targets_norm))(preds_norm_k)
+                phys = jax.vmap(
+                    lambda p: self._denorm_tchw(p.astype(jnp.float32))
+                )(preds_norm_k)
+                ens = phys.mean(axis=0)
+                trues = self._denorm_tchw(targets_norm.astype(jnp.float32))
+                m_ens = evaluate_predictions(ens, trues, self.lat, self.output_vars, phase="val")
+                m_ens["val/kaggle_score"] = kaggle_composite_score(
+                    ens, trues, self.lat, self.output_vars
+                )
+                m_ens["val/loss"] = per["val/loss"].mean()  # mean member MSE
+                return per, m_ens
+
+            def _test_metrics_multi_fn(preds_norm_k, targets_raw):
+                phys = jax.vmap(
+                    lambda p: self._denorm_tchw(p.astype(jnp.float32))
+                )(preds_norm_k)
+                ens = phys.mean(axis=0)
+                trues = jnp.transpose(targets_raw, (0, 3, 1, 2))
+                m = evaluate_predictions(ens, trues, self.lat, self.output_vars, phase="test")
+                return ens, m
+
+            self._val_metrics_multi = jax.jit(
+                _val_metrics_multi_fn, in_shardings=(repl, repl), out_shardings=repl
+            )
+            self._test_metrics_multi = jax.jit(
+                _test_metrics_multi_fn, in_shardings=(repl, repl), out_shardings=repl
+            )
+
         self.start_epoch = 0
         self.restored_meta: dict = {}
+        if cfg.get("ckpt_path") and self.n_members > 1:
+            raise ValueError(
+                "ckpt_path resume is not supported with training.n_members > 1; "
+                "resume members individually (each member{k}/checkpoints tree is "
+                "a standard single-member checkpoint)"
+            )
         if cfg.get("ckpt_path"):
             self.state, meta = restore_from_path(cfg["ckpt_path"], self.state)
             self.restored_meta = meta
@@ -331,7 +413,13 @@ class Experiment:
             self_force_steps=sf_steps, prev_noise=prev_noise,
             sched_sampling_ramp=ss_ramp, sched_sampling_max=ss_max,
             moment_loss_weight=mm_weight, window_mode=self.window_mode,
+            n_members=self.n_members,
         )
+        if self.n_members > 1:
+            log.info(
+                f"Multi-member vmap training: {self.n_members} members in one "
+                f"jitted step (seeds {self.member_seeds})"
+            )
 
         if self.seq_len is not None and self.window_mode == "slice":
             from ..data.dataset import pad_for_windows
@@ -401,7 +489,35 @@ class Experiment:
         max_epochs = int(cfg_tr.get("max_epochs", 1))
         log_every = int(cfg_tr.get("log_every_n_steps", 50))
         host_rng = np.random.default_rng(self.seed)
+        # member k permutes batches from its own seed -> decorrelated members
+        member_rngs = [np.random.default_rng(s) for s in self.member_seeds]
         drop_rng = jax.random.PRNGKey(self.seed + 1)
+
+        def epoch_index_mats():
+            """Padded per-step index/mask matrices for one epoch.
+            Single member: (n_batches, B). Multi: (n_batches, K, B)."""
+            if self.n_members == 1:
+                batches = epoch_permutation(host_rng, self.train_ds.n, self.batch_size)
+                padded = [pad_batch(b, self.batch_size) for b in batches]
+                n_samples = sum(len(b) for b in batches)
+            else:
+                per_member = []
+                for r in member_rngs:
+                    bk = epoch_permutation(r, self.train_ds.n, self.batch_size)
+                    per_member.append([pad_batch(b, self.batch_size) for b in bk])
+                n_steps = len(per_member[0])
+                padded = [
+                    (
+                        np.stack([per_member[k][i][0] for k in range(self.n_members)]),
+                        np.stack([per_member[k][i][1] for k in range(self.n_members)]),
+                    )
+                    for i in range(n_steps)
+                ]
+                # aggregate useful work: every member trains on the full split
+                n_samples = self.n_members * self.train_ds.n
+            idx_mat = np.stack([p[0] for p in padded])
+            mask_mat = np.stack([p[1] for p in padded])
+            return idx_mat, mask_mat, n_samples
 
         fuse_epoch = bool(cfg_tr.get("fuse_epoch", True))
 
@@ -425,13 +541,13 @@ class Experiment:
         with profile_trace(os.path.join(self.run_dir, "profile"), enabled=bool(cfg_tr.get("profile"))):
             for epoch in range(self.start_epoch, max_epochs):
                 epoch_t0 = time.perf_counter()
-                batches = epoch_permutation(host_rng, self.train_ds.n, self.batch_size)
+                idx_all, mask_all, n_samples = epoch_index_mats()
+                n_steps = idx_all.shape[0]
                 if fuse_epoch:
                     # whole epoch = ONE dispatch (lax.scan over batches);
                     # dropout rngs fold per-step from state.step inside.
-                    padded = [pad_batch(b, self.batch_size) for b in batches]
-                    idx_mat = jnp.asarray(np.stack([p[0] for p in padded]))
-                    mask_mat = jnp.asarray(np.stack([p[1] for p in padded]))
+                    idx_mat = jnp.asarray(idx_all)
+                    mask_mat = jnp.asarray(mask_all)
                     rng = jax.random.fold_in(drop_rng, epoch)
                     self.timer.start()
                     self.state, (loss_seq, gnorm_seq) = self.step_fns.train_epoch(
@@ -440,21 +556,22 @@ class Experiment:
                     )
                     # host pull = reliable sync (axon's block_until_ready can
                     # ack before completion, inflating throughput numbers)
-                    loss_host = np.asarray(loss_seq)
-                    gnorm_host = np.asarray(gnorm_seq)
-                    self.timer.stop(int(sum(len(b) for b in batches)))
+                    # multi-member: (n_steps, K) -> member mean per step
+                    loss_host = np.asarray(loss_seq).reshape(n_steps, -1).mean(axis=1)
+                    gnorm_host = np.asarray(gnorm_seq).reshape(n_steps, -1).mean(axis=1)
+                    self.timer.stop(n_samples)
                     losses = list(loss_host[::log_every])
-                    base_step = int(self.state.step) - len(batches)
-                    for bi in range(0, len(batches), log_every):
+                    base_step = self._global_step() - n_steps
+                    for bi in range(0, n_steps, log_every):
                         self.metrics_logger.log(
                             {"train/loss": float(loss_host[bi]), "train/grad_norm": float(gnorm_host[bi])},
                             step=base_step + bi + 1,
                         )
                 else:
                     losses = []
-                    for bi, idx in enumerate(batches):
-                        idx_p, mask = pad_batch(idx, self.batch_size)
-                        rng = jax.random.fold_in(drop_rng, int(self.state.step))
+                    for bi in range(n_steps):
+                        idx_p, mask = idx_all[bi], mask_all[bi]
+                        rng = jax.random.fold_in(drop_rng, self._global_step())
                         self.timer.start()
                         self.state, loss = self.step_fns.train_step(
                             self.state,
@@ -465,9 +582,9 @@ class Experiment:
                             rng,
                         )
                         if bi % log_every == 0:
-                            loss = float(loss)  # sync point only when logging
+                            loss = float(np.asarray(loss).mean())  # sync only when logging
                             losses.append(loss)
-                            self.metrics_logger.log({"train/loss": loss}, step=int(self.state.step))
+                            self.metrics_logger.log({"train/loss": loss}, step=self._global_step())
                         self.timer.stop(int(mask.sum()))
 
                 # per-layer gradient/weight histograms (reference:
@@ -477,9 +594,11 @@ class Experiment:
                 watch_every = cfg_tr.get("watch_every_n_epochs")
                 if watch_every is None:
                     watch_every = 1 if self.metrics_logger.wandb_active else 0
-                if int(watch_every) > 0 and epoch % int(watch_every) == 0:
-                    idx_p, mask = pad_batch(batches[-1], self.batch_size)
-                    self._log_watch_histograms(idx_p, mask, jax.random.fold_in(drop_rng, epoch))
+                if (int(watch_every) > 0 and epoch % int(watch_every) == 0
+                        and self.step_fns.grad_fn is not None):
+                    self._log_watch_histograms(
+                        idx_all[-1], mask_all[-1], jax.random.fold_in(drop_rng, epoch)
+                    )
 
                 val_metrics = self.validate(epoch)
                 last_val = val_metrics
@@ -487,22 +606,35 @@ class Experiment:
                 # trainer/default.yaml:21-22): evaluate the actual schedule at
                 # the last optimizer step of this epoch, not the config value.
                 self.metrics_logger.log(
-                    {"lr": float(self.lr_schedule(max(int(self.state.step) - 1, 0)))},
-                    step=int(self.state.step),
+                    {"lr": float(self.lr_schedule(max(self._global_step() - 1, 0)))},
+                    step=self._global_step(),
                 )
-                self.ckpt.save(
-                    self.state, val_metrics, epoch, self.input_stats, self.output_stats,
-                    extra_meta={
-                        "schedule": dict(self._schedule_cfg),
-                        # channel naming makes checkpoints self-describing for
-                        # serving/rollout (feedback slot discovery by name)
-                        "data": {
-                            "input_vars": list(self.bundle.input_vars),
-                            "output_vars": list(self.output_vars),
-                            "seq_len": self.seq_len,
-                        },
+                extra_meta = {
+                    "schedule": dict(self._schedule_cfg),
+                    # channel naming makes checkpoints self-describing for
+                    # serving/rollout (feedback slot discovery by name)
+                    "data": {
+                        "input_vars": list(self.bundle.input_vars),
+                        "output_vars": list(self.output_vars),
+                        "seq_len": self.seq_len,
+                        "grid": [len(self.lat), len(self.lon)],
                     },
-                )
+                }
+                if self.n_members > 1:
+                    from .state import member_state
+
+                    for k in range(self.n_members):
+                        self.member_ckpts[k].save(
+                            member_state(self.state, k),
+                            self._last_member_metrics[k], epoch,
+                            self.input_stats, self.output_stats,
+                            extra_meta={**extra_meta, "member_seed": self.member_seeds[k]},
+                        )
+                else:
+                    self.ckpt.save(
+                        self.state, val_metrics, epoch, self.input_stats, self.output_stats,
+                        extra_meta=extra_meta,
+                    )
                 log.info(
                     f"epoch {epoch}: train/loss={np.mean(losses) if losses else float('nan'):.4f} "
                     f"val/loss={val_metrics['val/loss']:.4f} "
@@ -512,9 +644,16 @@ class Experiment:
                 )
 
         if bool(self.cfg.get("training", {}).get("fit_calibration", False)):
-            self._fit_train_calibration()
+            if self.n_members > 1:
+                log.warning("fit_calibration skipped: not supported with n_members > 1 "
+                            "(calibrate restored members individually)")
+            else:
+                self._fit_train_calibration()
         if cfg_tr.get("visualize_worst_loss"):
-            self._visualize_worst_train_loss()
+            if self.n_members > 1:
+                log.warning("visualize_worst_loss skipped with n_members > 1")
+            else:
+                self._visualize_worst_train_loss()
         return last_val
 
     def _fit_train_calibration(self) -> None:
@@ -545,7 +684,7 @@ class Experiment:
             self.state, self.train_x, self.train_ds.outputs,
             jnp.asarray(idx), jnp.asarray(mask), rng,
         )
-        step = int(self.state.step)
+        step = self._global_step()
 
         def name_of(path) -> str:
             return ".".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
@@ -566,7 +705,7 @@ class Experiment:
         trues = np.asarray(jnp.transpose(self.train_ds.outputs, (0, 3, 1, 2)), dtype=np.float32)
         paths = worst_loss_panels(
             self.run_dir, preds, trues, self.output_vars,
-            metrics_logger=self.metrics_logger, step=int(self.state.step),
+            metrics_logger=self.metrics_logger, step=self._global_step(),
         )
         log.info(f"Saved {len(paths)} worst-loss panels under {self.run_dir}/plots/worst_loss")
 
@@ -576,13 +715,40 @@ class Experiment:
         tchw = jnp.transpose(preds_nhwc, (0, 3, 1, 2))
         return tf.inverse_transform(tchw, self.output_stats)
 
+    def _global_step(self) -> int:
+        """Optimizer step as a host int (member 0's for stacked states —
+        members share the count)."""
+        return int(np.asarray(self.state.step).reshape(-1)[0])
+
     def validate(self, epoch: int) -> dict:
         preds_norm = predict_dataset(
             self.step_fns, self.state, self.val_x, self.val_ds.n, self.eval_batch_size
         )
+        if self.n_members > 1:
+            per, metrics = self._val_metrics_multi(preds_norm, self.val_ds.outputs)
+            per = {k: np.asarray(v) for k, v in per.items()}
+            # per-member dicts (standard names) drive each member's checkpoint
+            self._last_member_metrics = [
+                {k: float(v[m]) for k, v in per.items()} for m in range(self.n_members)
+            ]
+            metrics = {k: float(v) for k, v in metrics.items()}
+            # observability: members under val/member{k}/..., ensemble under
+            # the standard reference names
+            for m, mm in enumerate(self._last_member_metrics):
+                self.metrics_logger.log(
+                    {key.replace("val/", f"val/member{m}/"): v for key, v in mm.items()},
+                    step=self._global_step(),
+                )
+            self.metrics_logger.log(metrics, step=self._global_step())
+            scores = ", ".join(
+                f"m{m}={mm['val/kaggle_score']:.4f}"
+                for m, mm in enumerate(self._last_member_metrics)
+            )
+            log.info(f"epoch {epoch} members: {scores} | ensemble={metrics['val/kaggle_score']:.4f}")
+            return metrics
         metrics = self._val_metrics(preds_norm, self.val_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
-        self.metrics_logger.log(metrics, step=int(self.state.step))
+        self.metrics_logger.log(metrics, step=self._global_step())
 
         # per-epoch val image panels: with wandb active they stream every val
         # epoch under the reference's exact names (main_baseline.py:410-442);
@@ -595,7 +761,7 @@ class Experiment:
             trues = np.asarray(self._denorm_tchw(self.val_ds.outputs), dtype=np.float32)
             save_epoch_panels(
                 self.run_dir, "val", preds, trues, self.output_vars, metrics,
-                metrics_logger=self.metrics_logger, step=int(self.state.step),
+                metrics_logger=self.metrics_logger, step=self._global_step(),
                 out_subdir=f"val_epoch{epoch}",
             )
         return metrics
@@ -607,9 +773,13 @@ class Experiment:
         preds_norm = predict_dataset(
             self.step_fns, self.state, self.test_x, self.test_ds.n, self.eval_batch_size
         )
-        preds, metrics = self._test_metrics(preds_norm, self.test_ds.outputs)
+        if self.n_members > 1:
+            # member-mean ensemble in physical space -> one submission
+            preds, metrics = self._test_metrics_multi(preds_norm, self.test_ds.outputs)
+        else:
+            preds, metrics = self._test_metrics(preds_norm, self.test_ds.outputs)
         metrics = {k: float(v) for k, v in metrics.items()}
-        self.metrics_logger.log(metrics, step=int(self.state.step))
+        self.metrics_logger.log(metrics, step=self._global_step())
 
         if self.cfg.get("trainer", {}).get("save_plots"):
             from ..eval.plots import save_epoch_panels

@@ -77,6 +77,25 @@ def build_optimizer(
     return optax.chain(*parts)
 
 
+def create_member_states(
+    model, rngs, example_input, tx: optax.GradientTransformation
+) -> TrainState:
+    """Stacked TrainState for K ensemble members: every leaf gains a leading
+    member axis (member k initialized from rngs[k]). Feeds the multi-member
+    vmap training path (trainer.StepFunctions.build(n_members=K)); unstack a
+    trained member with member_state() to get a standard checkpointable
+    TrainState."""
+    import jax.numpy as jnp
+
+    states = [create_train_state(model, r, example_input, tx) for r in rngs]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def member_state(states: TrainState, k: int) -> TrainState:
+    """Member k of a stacked TrainState (inverse of create_member_states)."""
+    return jax.tree_util.tree_map(lambda x: x[k], states)
+
+
 def create_train_state(model, rng, example_input, tx: optax.GradientTransformation) -> TrainState:
     variables = model.init(rng, example_input)
     params = variables["params"]

@@ -68,8 +68,23 @@ class StepFunctions:
               sched_sampling_ramp: int = 0,
               sched_sampling_max: float = 1.0,
               moment_loss_weight: float = 0.0,
-              window_mode: str = "mask"):
+              window_mode: str = "mask",
+              n_members: int = 1):
         """seq_len=None -> single-frame models; else sliding-window gather.
+
+        n_members > 1 enables MULTI-MEMBER vmap training: K independent
+        ensemble members (stacked-leading-axis TrainState, see
+        state.create_member_states) train in ONE jitted step/epoch. The
+        measured flagship step is kernel-count latency-bound, not FLOPs- or
+        HBM-bound (PARITY.md "Step roofline": 611 fused kernels x ~17 us at
+        batch 64 = 10.2 ms vs a 0.72 ms FLOPs roof), so K members riding the
+        same kernel chain multiply useful work per dispatched kernel at
+        near-constant wall clock — the ensemble factory the quality headline
+        feeds on. Signature changes in member mode: train_step/train_epoch
+        take idx/mask with a leading member axis ((K,B) / (n_batches,K,B))
+        so each member sees its own batch permutation (decorrelation), and
+        predict/predict_split return (K, ...) stacked predictions. The
+        reference trains one model per process (main_final.py:751-785).
 
         self_force_slots ({output_channel: prev input_channel}, feedback
         models only): with self_force_weight > 0, enables the chained
@@ -312,6 +327,107 @@ class StepFunctions:
             return pred
 
         repl = NamedSharding(mesh, P())
+
+        # Whole-split inference as ONE jitted program: lax.map over fixed-size
+        # batches, batch axis sharded per step via constraint, result
+        # replicated. Keeps eval to a single compiled collective schedule
+        # (eager per-op collectives on sharded arrays deadlock oversubscribed
+        # CPU meshes and waste launches on TPU). Shared by the single- and
+        # multi-member paths (the latter vmaps it over the member axis).
+        def _predict_split_run(n: int, batch_size: int):
+            n_batches = -(-n // batch_size)
+
+            def _run(state, x_all):
+                starts = jnp.arange(n_batches, dtype=jnp.int32) * batch_size
+
+                def step(start):
+                    idx = jnp.minimum(start + jnp.arange(batch_size, dtype=jnp.int32), n - 1)
+                    x = gather(x_all, idx)
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P(DATA_AXIS))
+                    )
+                    pred, _ = forward(state.params, state.batch_stats, x, None, train=False)
+                    return pred
+
+                preds = jax.lax.map(step, starts)  # (nb, bs, H, W, C)
+                return preds.reshape(n_batches * batch_size, *preds.shape[2:])[:n]
+
+            return _run
+
+        if n_members > 1:
+            K = n_members
+
+            def _member_rngs(rng):
+                return jax.vmap(jax.random.fold_in, (None, 0))(
+                    rng, jnp.arange(K, dtype=jnp.uint32)
+                )
+
+            def _train_step_m(states, x_all, y_all, idx, mask, rng):
+                # idx/mask (K, B); per-member rng = fold_in(rng, k)
+                def one(s, i, m, r):
+                    ns, loss, _ = _step_body(s, x_all, y_all, i, m, r)
+                    return ns, loss
+
+                return jax.vmap(one)(states, idx, mask, _member_rngs(rng))
+
+            def _train_epoch_m(states, x_all, y_all, idx_mat, mask_mat, rng0):
+                # idx_mat (n_batches, K, B); members share the step counter
+                # (same batch count), so the per-step fold uses member 0's.
+                def body(carry, inp):
+                    idx, mask = inp
+                    rng = jax.random.fold_in(rng0, carry.step.reshape(-1)[0])
+
+                    def one(s, i, m, r):
+                        return _step_body(s, x_all, y_all, i, m, r)
+
+                    new_states, loss, gnorm = jax.vmap(one)(
+                        carry, idx, mask, _member_rngs(rng)
+                    )
+                    return new_states, (loss, gnorm)
+
+                return jax.lax.scan(body, states, (idx_mat, mask_mat))
+
+            def _predict_m(states, x_all, idx):
+                return jax.vmap(lambda s: _predict(s, x_all, idx))(states)
+
+            shard_kb = NamedSharding(mesh, P(None, DATA_AXIS))  # (K, B)
+            shard_skb = NamedSharding(mesh, P(None, None, DATA_AXIS))  # (nb, K, B)
+            train_step = jax.jit(
+                _train_step_m,
+                in_shardings=(repl, repl, repl, shard_kb, shard_kb, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+            train_epoch = jax.jit(
+                _train_epoch_m,
+                in_shardings=(repl, repl, repl, shard_skb, shard_skb, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+            predict = jax.jit(
+                _predict_m,
+                in_shardings=(repl, repl, NamedSharding(mesh, P(DATA_AXIS))),
+                out_shardings=shard_kb,
+            )
+            grad_fn = None  # per-member histograms: restore a member and use K=1
+
+            @functools.lru_cache(maxsize=None)
+            def predict_split_for(n: int, batch_size: int):
+                single = _predict_split_run(n, batch_size)
+                return jax.jit(
+                    lambda states, x_all: jax.vmap(lambda s: single(s, x_all))(states),
+                    in_shardings=(repl, repl),
+                    out_shardings=repl,
+                )
+
+            return StepFunctions(
+                train_step=train_step,
+                predict=predict,
+                predict_split_for=predict_split_for,
+                train_epoch=train_epoch,
+                grad_fn=grad_fn,
+            )
+
         shard_b = NamedSharding(mesh, P(DATA_AXIS))
         train_step = jax.jit(
             _train_step,
@@ -337,31 +453,12 @@ class StepFunctions:
             out_shardings=repl,
         )
 
-        # Whole-split inference as ONE jitted program: lax.map over fixed-size
-        # batches, batch axis sharded per step via constraint, result
-        # replicated. Keeps eval to a single compiled collective schedule
-        # (eager per-op collectives on sharded arrays deadlock oversubscribed
-        # CPU meshes and waste launches on TPU).
         @functools.lru_cache(maxsize=None)
         def predict_split_for(n: int, batch_size: int):
-            n_batches = -(-n // batch_size)
-
-            def _run(state, x_all):
-                starts = jnp.arange(n_batches, dtype=jnp.int32) * batch_size
-
-                def step(start):
-                    idx = jnp.minimum(start + jnp.arange(batch_size, dtype=jnp.int32), n - 1)
-                    x = gather(x_all, idx)
-                    x = jax.lax.with_sharding_constraint(
-                        x, NamedSharding(mesh, P(DATA_AXIS))
-                    )
-                    pred, _ = forward(state.params, state.batch_stats, x, None, train=False)
-                    return pred
-
-                preds = jax.lax.map(step, starts)  # (nb, bs, H, W, C)
-                return preds.reshape(n_batches * batch_size, *preds.shape[2:])[:n]
-
-            return jax.jit(_run, in_shardings=(repl, repl), out_shardings=repl)
+            return jax.jit(
+                _predict_split_run(n, batch_size),
+                in_shardings=(repl, repl), out_shardings=repl,
+            )
 
         return StepFunctions(
             train_step=train_step,

@@ -174,7 +174,7 @@ def run_torch(model_name: str, pipeline: str, epochs: int, seq_len: int, out_pat
 
 
 def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path: str, model_kw: dict,
-            save_preds: bool = False):
+            save_preds: bool = False, members: int = 1, member_seeds: list[int] | None = None):
     import jax
 
     # PARITY_JAX_PLATFORM=cpu forces CPU; unset -> ambient default (axon TPU)
@@ -195,6 +195,12 @@ def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path:
     ]
     if pipeline == "final":
         overrides.append(f"data.seq_len={seq_len}")
+    if members > 1:
+        # K members vmapped into one jitted step (trainer.py n_members) —
+        # the ensemble-member factory; per-member checkpoints + valpreds.
+        overrides.append(f"training.n_members={members}")
+        if member_seeds:
+            overrides.append("training.member_seeds=[" + ",".join(map(str, member_seeds)) + "]")
     for k, v in model_kw.items():
         overrides.append(f"model.{k}={v}")
     overrides += [ov for ov in os.environ.get("PARITY_EXTRA_OVERRIDES", "").split() if ov]
@@ -209,6 +215,8 @@ def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path:
         entry = dict(m)
         entry["epoch"] = epoch
         entry["samples_per_sec"] = exp.timer.samples_per_sec
+        if getattr(exp, "n_members", 1) > 1:
+            entry["members"] = exp._last_member_metrics
         history.append(entry)
         with open(out_path, "w") as f:
             json.dump(history, f, indent=1)
@@ -225,13 +233,23 @@ def run_jax(model_name: str, pipeline: str, epochs: int, seq_len: int, out_path:
         from climate_tpu.train.trainer import predict_dataset
 
         preds_norm = predict_dataset(
-            exp.step_fns, exp.state, exp.val_ds.inputs, exp.val_ds.n, exp.eval_batch_size
+            exp.step_fns, exp.state, exp.val_x, exp.val_ds.n, exp.eval_batch_size
         )
-        preds = np.asarray(exp._denorm_tchw(preds_norm.astype(jnp.float32)), np.float64)
         trues = np.asarray(exp._denorm_tchw(exp.val_ds.outputs), np.float64)
-        npz = out_path.replace(".json", "_valpreds.npz")
-        np.savez_compressed(npz, preds=preds, trues=trues, lat=np.asarray(exp.lat))
-        print(f"val predictions saved to {npz}", flush=True)
+        if getattr(exp, "n_members", 1) > 1:
+            # one npz per member — each feeds the stack like an independent run
+            for k, seed in enumerate(exp.member_seeds):
+                preds = np.asarray(
+                    exp._denorm_tchw(preds_norm[k].astype(jnp.float32)), np.float64
+                )
+                npz = out_path.replace(".json", f"_seed{seed}_valpreds.npz")
+                np.savez_compressed(npz, preds=preds, trues=trues, lat=np.asarray(exp.lat))
+                print(f"member {k} (seed {seed}) val predictions saved to {npz}", flush=True)
+        else:
+            preds = np.asarray(exp._denorm_tchw(preds_norm.astype(jnp.float32)), np.float64)
+            npz = out_path.replace(".json", "_valpreds.npz")
+            np.savez_compressed(npz, preds=preds, trues=trues, lat=np.asarray(exp.lat))
+            print(f"val predictions saved to {npz}", flush=True)
 
 
 def main():
@@ -245,6 +263,10 @@ def main():
     ap.add_argument("--tag", default="", help="suffix for the output file name")
     ap.add_argument("--save-preds", action="store_true",
                     help="save final val predictions (physical units) for ensembling")
+    ap.add_argument("--members", type=int, default=1,
+                    help="jax only: train K members in one vmapped step")
+    ap.add_argument("--member-seeds", default="",
+                    help="comma-separated member seeds (default seed..seed+K-1)")
     args = ap.parse_args()
 
     os.makedirs(PARITY_DIR, exist_ok=True)
@@ -253,8 +275,9 @@ def main():
     if args.stack == "torch":
         run_torch(args.model, args.pipeline, args.epochs, args.seq_len, out, args.model_kw)
     else:
+        seeds = [int(s) for s in args.member_seeds.split(",") if s] or None
         run_jax(args.model, args.pipeline, args.epochs, args.seq_len, out, args.model_kw,
-                save_preds=args.save_preds)
+                save_preds=args.save_preds, members=args.members, member_seeds=seeds)
 
 
 if __name__ == "__main__":
