@@ -392,10 +392,74 @@ def main():
                 "point for a 2.2 GFLOP/sample model at this spatial size — the chip's",
                 "ceiling for THIS model is kernel-chain latency, and the fused-epoch scan",
                 "(one dispatch per epoch) is the right lever, already the default.",
+                "The 'ride the same kernel chain with K models' corollary was put to the",
+                "test in round 5 (multi-member vmap training, next section): it does NOT",
+                "hold — vmap over a stacked-params axis gives each member its own conv",
+                "kernels (XLA lowers weight-batched convs as feature-group convs, one",
+                "MXU pass per member at these channel counts), so the kernel chain grows",
+                "~K-fold and the step time with it. The factory win is real but it is",
+                "wall-clock amortization (compile, data pipeline, eval, dispatch), not",
+                "latency hiding.",
                 "",
             ]
         else:
             lines += [""]
+
+    # --- multi-member vmap training (round 5: training.n_members=K) ---
+    mm = runs.get("jax_unet_convlstm_attention_final_mm4fb_e50")
+    bm4 = load_json("bench_members4_r5.json")
+    bm8 = load_json("bench_members8_r5.json")
+    solo = load_json("bench_last_tpu.json")
+    if mm and isinstance(bm4, dict) and bm4.get("samples_per_sec"):
+        with_members = [e for e in mm if e.get("members")]
+        ens_best = min(e["val/kaggle_score"] for e in mm)
+        mem_best = [
+            min(e["members"][k]["val/kaggle_score"] for e in with_members)
+            for k in range(len(with_members[-1]["members"]))
+        ]
+        solo_sps = (solo or {}).get("value") or (solo or {}).get("samples_per_sec") or 0
+        k4 = bm4["samples_per_sec"]
+        lines += [
+            "## Multi-member vmap training (round 5): K ensemble members in one jitted step",
+            "",
+            "`training.n_members=K` stacks K independently-initialized parameter sets on",
+            "a leading axis and vmaps the train step over it (train/state.py::",
+            "create_member_states, trainer.py) — one jit, one data gather, one epoch scan,",
+            "one eval pass for K members; per-member checkpoints/valpreds come out of the",
+            "same run (tests/test_multimember.py asserts member k == an independently",
+            "seeded solo run).",
+            "",
+            "Measured aggregate step throughput (bench.py, CLIMATE_TPU_BENCH_MEMBERS,",
+            "member-samples/s across all members, default flagship recipe):",
+            "",
+            "| K | aggregate samples/s | step-time vs solo |",
+            "|---|---|---|",
+            f"| 1 | {solo_sps:.0f} | 1x |",
+            f"| 4 | {k4:.0f} | {4*solo_sps/k4:.2f}x |" if solo_sps else f"| 4 | {k4:.0f} | - |",
+        ]
+        if isinstance(bm8, dict) and bm8.get("samples_per_sec") and solo_sps:
+            k8 = bm8["samples_per_sec"]
+            lines += [f"| 8 | {k8:.0f} | {8*solo_sps/k8:.2f}x |"]
+        lines += [
+            "",
+            "HONEST scaling verdict: the round-4 roofline hypothesis predicted K members",
+            "would ride the same kernel chain (~1x step time). Measured: K=4 costs ~4.3x",
+            "the solo step — each member's convs lower to their own kernels, so the",
+            "chain grows with K and aggregate throughput is ~0.92x of running members",
+            "sequentially. The factory still wins where it matters on this host: ONE",
+            "compile + ONE data pipeline + vmapped eval for K members — the K=4",
+            "feedback-pool rebuild (mm4fb) trained 4 members for 50 epochs in ~31 min",
+            "wall-clock vs ~80-100 min for 4 sequential solo runs (startup/compile",
+            "dominates short runs), and it is one queue slot instead of four.",
+            "",
+            "Quality (mm4fb, 4 x 50-epoch feedback members, teacher-forced val",
+            f"composites): per-member bests [{', '.join(f'{s:.4f}' for s in mem_best)}];",
+            f"the run's built-in member-MEAN ensemble best is **{ens_best:.4f}** — the",
+            "best flagship-family teacher-forced number to date (previous best: solo",
+            "scheduled-sampling 0.6523, round 4), logged per epoch for free from the",
+            "same vmapped eval.",
+            "",
+        ]
 
     # --- val-window closed-loop A/B (queue items 1-4: teacher-forced vs
     #     self-forced training, scored autoregressively over the val rows) ---
@@ -436,6 +500,20 @@ def main():
         ("4-member weighted ensemble + in-scan history calibration",
          "rollout_valwin_r4ens4whcal.log",
          "jax_unet_convlstm_attention_final_fbchain2_e50"),
+        ("round-5 pool: scheduled-sampling solo (retrained)", "rollout_valwin_r5ss25.log",
+         "jax_unet_convlstm_attention_final_ss25r5_e50"),
+        ("round-5 pool: chained self-forcing seed 44 solo (retrained)",
+         "rollout_valwin_r5s44.log",
+         "jax_unet_convlstm_attention_final_fbchain2s44r5_e50"),
+        ("round-5 pool: vmap-factory member seed 43 solo", "rollout_valwin_r5fb43.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
+        ("ROUND-5 ensemble: 6-member (4 vmap-factory + s44 + sched-sampling), "
+         "inverse-sq-TF-composite weights + IN-SCAN history calibration",
+         "rollout_valwin_r5ensTFwhcal.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
+        ("round-5 6-member weighted ensemble, no history calibration",
+         "rollout_valwin_r5ensTFw.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
         ("3-member closed-loop ensemble (feedback+fbbase+fbselfforce, "
          "predictions averaged inside the scan; CPU run)", "rollout_valwin_ens3cpu.log",
          "jax_unet_convlstm_attention_final_fbselfforce_e50"),
@@ -485,6 +563,10 @@ def main():
              "inverse-sq-weighted 4-member closed-loop ensemble"),
             ("valwin_r4ens4whcal_calib.json",
              "weighted + history-calibrated 4-member closed-loop ensemble"),
+            ("valwin_r5ensTFwhcal_calib.json",
+             "round-5 weighted + history-calibrated 6-member closed-loop ensemble"),
+            ("valwin_r5ensTFw_calib.json",
+             "round-5 weighted 6-member closed-loop ensemble"),
         ]:
             cl = load_json(calib_file)
             if isinstance(cl, dict) and cl.get("second_half_calibrated"):
@@ -527,6 +609,10 @@ def main():
 
     # --- weighted stacking + variance re-inflation (tools/ensemble_eval.py) ---
     for fname, title in [
+        ("ensemble_cross17_forcing.json",
+         "round-5 FORCING-ONLY cross-family stack: the round-4 cross12 members "
+         "+ the vmap-factory flagship seeds 47-50 (mm4cos300) + the seq12 window "
+         "member + cnn_transformer cos300 seed 45 — all forcing-only"),
         ("ensemble_cross12_forcing.json",
          "12-member FORCING-ONLY cross-family stack (round 4): the cross9 members "
          "+ flagship cos300 seed 45 + cnn_transformer w384 + calibration-trained "
