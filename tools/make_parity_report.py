@@ -247,6 +247,18 @@ def main():
                    "looks systematic, see the layer-parity bisection note.")
             ))(min(finals.values()), max(finals.values())),
             "",
+            "Init audit (round 5, vs /root/reference/src/unet.py:32-109): kernel init",
+            "matches torch's kaiming_uniform(a=sqrt(5)) exactly (layers.py",
+            "TORCH_KERNEL_INIT = variance_scaling(1/3, fan_in, uniform) — same",
+            "U(+-sqrt(1/fan_in)) bound); GroupNorm(8, eps 1e-5), SiLU, SE ratio 8,",
+            "CBAM 7x7 gate, and ConvTranspose(2,2) all structurally identical",
+            "(output-parity proven per layer by the torch-checkpoint importer tests).",
+            "The one real difference is BIAS init on the biased layers (head 1x1 and",
+            "ConvTranspose): torch draws U(+-1/sqrt(fan_in)), Flax zeros — a",
+            "sub-1e-2-scale perturbation only visible at step 0, far below the",
+            "late-epoch composite oscillation above. No systematic layer-semantics",
+            "gap remains to fix; the endpoint delta is seed/epoch noise.",
+            "",
         ]
 
     # --- MFU / step-time breakdown (tools/step_breakdown.py on the real chip) ---
