@@ -31,7 +31,8 @@ class Predictor:
                  seq_len: int | None = None, input_var_names: list[str] | None = None,
                  output_var_names: list[str] | None = None,
                  calibration: dict[str, float] | None = None,
-                 is_ensemble: bool = False):
+                 is_ensemble: bool = False,
+                 member_weights=None):
         self.model = model
         self.variables = variables
         self.input_stats = input_stats
@@ -46,6 +47,15 @@ class Predictor:
         # architecture checkpoints); forward = vmap over members, mean of
         # their predictions (see ensemble_from_checkpoints)
         self._is_ensemble = bool(is_ensemble)
+        # member_weights: convex blend over the member axis instead of the
+        # uniform mean (serving-side mirror of cli/rollout.py
+        # rollout.member_weights; normalized here so callers pass raw scores)
+        if member_weights is not None:
+            w = jnp.asarray(member_weights, jnp.float32)
+            if w.ndim != 1 or bool((w < 0).any()) or float(w.sum()) <= 0:
+                raise ValueError("member_weights must be non-negative with a positive sum")
+            member_weights = w / w.sum()
+        self._member_weights = member_weights
         self.grid: tuple[int, int] | None = None  # (H, W) the weights were built for
         self._forward = jax.jit(self._apply)
 
@@ -59,7 +69,10 @@ class Predictor:
 
     def _apply(self, v, x):
         if self._is_ensemble:
-            return jax.vmap(lambda vv: self.model.apply(vv, x))(v).mean(axis=0)
+            preds = jax.vmap(lambda vv: self.model.apply(vv, x))(v)
+            if self._member_weights is not None:
+                return jnp.tensordot(self._member_weights, preds, axes=1)
+            return preds.mean(axis=0)
         return self.model.apply(v, x)
 
     # ------------------------------------------------------------------
@@ -144,14 +157,22 @@ class Predictor:
         return p
 
     @classmethod
-    def ensemble_from_checkpoints(cls, ckpt_paths: list[str], **kwargs) -> "Predictor":
+    def ensemble_from_checkpoints(cls, ckpt_paths: list[str],
+                                  weights: list[float] | None = None,
+                                  **kwargs) -> "Predictor":
         """Serving-side ensemble: restore N same-architecture checkpoints,
         stack their variables along a member axis, and predict/roll out the
-        MEMBER MEAN (rollout feeds the mean back — closed-loop ensembling,
-        same mechanism as cli/rollout.py rollout.extra_ckpts). Normalizer
-        stats and calibration come from the first checkpoint (the members
-        share a data config by construction; a structure mismatch between
-        member pytrees raises)."""
+        member BLEND — uniform mean by default, or a convex combination when
+        `weights` is given (e.g. 1/score**2 from each member's val composite;
+        normalized internally; rollout feeds the blend back — closed-loop
+        ensembling, same mechanism as cli/rollout.py rollout.extra_ckpts +
+        rollout.member_weights). Normalizer stats and calibration come from
+        the first checkpoint (the members share a data config by
+        construction; a structure mismatch between member pytrees raises)."""
+        if weights is not None and len(weights) != len(ckpt_paths):
+            raise ValueError(
+                f"weights has {len(weights)} entries for {len(ckpt_paths)} checkpoints"
+            )
         members = [cls.from_checkpoint(p, **kwargs) for p in ckpt_paths]
         base = members[0]
         if len(members) == 1:
@@ -160,7 +181,8 @@ class Predictor:
         p = cls(base.model, stacked, base.input_stats, base.output_stats,
                 seq_len=base.seq_len, input_var_names=base.input_var_names,
                 output_var_names=base.output_var_names,
-                calibration=base.calibration, is_ensemble=True)
+                calibration=base.calibration, is_ensemble=True,
+                member_weights=weights)
         p.grid = base.grid
         return p
 

@@ -158,3 +158,39 @@ class TestServing:
             np.asarray(ens.predict(forc)), np.asarray(single.predict(forc)),
             rtol=1e-6, atol=1e-6,
         )
+
+    def test_weighted_ensemble_predictor(self, run):
+        """ensemble_from_checkpoints(weights=...): raw (unnormalized) equal
+        weights reproduce the uniform mean; a degenerate [w, 0] blend must
+        equal the first member alone even when member 1 is corrupted —
+        proving the weights actually gate member contributions."""
+        import jax
+
+        from climate_tpu.serve import Predictor
+
+        exp, _, _ = run
+        ckpt = os.path.join(exp.run_dir, "checkpoints", "best")
+        kw = dict(model_type="SimpleCNN", model_kwargs={"init_dim": 8, "depth": 2},
+                  seasonal_embeddings=False, seq_len=None)
+        single = Predictor.from_checkpoint(ckpt, **kw)
+        forc = np.moveaxis(exp.bundle.test.inputs[:2], 1, -1).astype(np.float32)
+
+        ens = Predictor.ensemble_from_checkpoints([ckpt, ckpt], weights=[3.0, 3.0], **kw)
+        np.testing.assert_allclose(
+            np.asarray(ens.predict(forc)), np.asarray(single.predict(forc)),
+            rtol=1e-6, atol=1e-6,
+        )
+
+        gated = Predictor.ensemble_from_checkpoints([ckpt, ckpt], weights=[0.7, 0.0], **kw)
+        gated.variables = jax.tree.map(
+            lambda x: x.at[1].set(x[0] * 2.0), gated.variables
+        )
+        np.testing.assert_allclose(
+            np.asarray(gated.predict(forc)), np.asarray(single.predict(forc)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+        with pytest.raises(ValueError):
+            Predictor.ensemble_from_checkpoints([ckpt, ckpt], weights=[1.0], **kw)
+        with pytest.raises(ValueError):
+            Predictor.ensemble_from_checkpoints([ckpt, ckpt], weights=[-1.0, 2.0], **kw)
