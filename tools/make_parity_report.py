@@ -519,12 +519,13 @@ def main():
          "jax_unet_convlstm_attention_final_fbchain2s44r5_e50"),
         ("round-5 pool: vmap-factory member seed 43 solo", "rollout_valwin_r5fb43.log",
          "jax_unet_convlstm_attention_final_mm4fb_e50"),
-        ("ROUND-5 ensemble: 6-member (4 vmap-factory + s44 + sched-sampling), "
-         "inverse-sq-TF-composite weights + IN-SCAN history calibration",
-         "rollout_valwin_r5ensTFwhcal.log",
+        ("ROUND-5 closed-loop ensemble (s44 lead + vmap-factory members + "
+         "sched-sampling, inverse-sq-TF-composite weights)",
+         "rollout_valwin_r5ensNw.log",
          "jax_unet_convlstm_attention_final_mm4fb_e50"),
-        ("round-5 6-member weighted ensemble, no history calibration",
-         "rollout_valwin_r5ensTFw.log",
+        ("round-5 weighted ensemble + IN-SCAN fed-back-history calibration "
+         "(s44's train-fitted alphas)",
+         "rollout_valwin_r5ensNwhcal.log",
          "jax_unet_convlstm_attention_final_mm4fb_e50"),
         ("3-member closed-loop ensemble (feedback+fbbase+fbselfforce, "
          "predictions averaged inside the scan; CPU run)", "rollout_valwin_ens3cpu.log",
@@ -575,10 +576,10 @@ def main():
              "inverse-sq-weighted 4-member closed-loop ensemble"),
             ("valwin_r4ens4whcal_calib.json",
              "weighted + history-calibrated 4-member closed-loop ensemble"),
-            ("valwin_r5ensTFwhcal_calib.json",
-             "round-5 weighted + history-calibrated 6-member closed-loop ensemble"),
-            ("valwin_r5ensTFw_calib.json",
-             "round-5 weighted 6-member closed-loop ensemble"),
+            ("valwin_r5ensNw_calib.json",
+             "round-5 weighted closed-loop ensemble"),
+            ("valwin_r5ensNwhcal_calib.json",
+             "round-5 weighted + in-scan-history-calibrated closed-loop ensemble"),
         ]:
             cl = load_json(calib_file)
             if isinstance(cl, dict) and cl.get("second_half_calibrated"):
