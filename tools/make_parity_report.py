@@ -517,7 +517,13 @@ def main():
         ("round-5 pool: chained self-forcing seed 44 solo (retrained)",
          "rollout_valwin_r5s44.log",
          "jax_unet_convlstm_attention_final_fbchain2s44r5_e50"),
+        ("round-5 pool: vmap-factory member seed 42 solo", "rollout_valwin_r5fb42.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
         ("round-5 pool: vmap-factory member seed 43 solo", "rollout_valwin_r5fb43.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
+        ("round-5 pool: vmap-factory member seed 45 solo", "rollout_valwin_r5fb45.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
+        ("round-5 pool: vmap-factory member seed 46 solo", "rollout_valwin_r5fb46.log",
          "jax_unet_convlstm_attention_final_mm4fb_e50"),
         ("ROUND-5 closed-loop ensemble (s44 lead + vmap-factory members + "
          "sched-sampling, inverse-sq-TF-composite weights)",
@@ -526,6 +532,13 @@ def main():
         ("round-5 weighted ensemble + IN-SCAN fed-back-history calibration "
          "(s44's train-fitted alphas)",
          "rollout_valwin_r5ensNwhcal.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
+        ("round-5 ensemble, inverse-sq-CLOSED-LOOP-error weights "
+         "(members with solo closed-loop < 1.0 only)",
+         "rollout_valwin_r5ensCLw.log",
+         "jax_unet_convlstm_attention_final_mm4fb_e50"),
+        ("round-5 closed-loop-weighted ensemble + in-scan history calibration",
+         "rollout_valwin_r5ensCLwhcal.log",
          "jax_unet_convlstm_attention_final_mm4fb_e50"),
         ("3-member closed-loop ensemble (feedback+fbbase+fbselfforce, "
          "predictions averaged inside the scan; CPU run)", "rollout_valwin_ens3cpu.log",
@@ -580,6 +593,10 @@ def main():
              "round-5 weighted closed-loop ensemble"),
             ("valwin_r5ensNwhcal_calib.json",
              "round-5 weighted + in-scan-history-calibrated closed-loop ensemble"),
+            ("valwin_r5ensCLw_calib.json",
+             "round-5 closed-loop-error-weighted ensemble"),
+            ("valwin_r5ensCLwhcal_calib.json",
+             "round-5 closed-loop-error-weighted + history-calibrated ensemble"),
         ]:
             cl = load_json(calib_file)
             if isinstance(cl, dict) and cl.get("second_half_calibrated"):
