@@ -31,7 +31,7 @@ from climate_tpu.eval.calibrate import apply_variance_inflation, fit_variance_in
 from climate_tpu.eval.metrics import kaggle_composite_score  # noqa: E402
 
 
-def analyze(path: str) -> dict:
+def analyze(path: str, train_alphas: dict[str, float] | None = None) -> dict:
     d = np.load(path, allow_pickle=False)
     preds, truth, lat = d["preds"], d["truth"], d["lat"]
     output_vars = [str(v) for v in d["output_vars"]]
@@ -43,7 +43,7 @@ def analyze(path: str) -> dict:
 
     alphas = fit_variance_inflation(preds[:half], truth[:half], lat, output_vars)
     calibrated_2nd = apply_variance_inflation(preds[half:], alphas, output_vars)
-    return {
+    out = {
         "npz": path,
         "months": int(t),
         "alphas_fit_first_half": alphas,
@@ -52,10 +52,26 @@ def analyze(path: str) -> dict:
         "second_half_raw": score(preds[half:], truth[half:]),
         "second_half_calibrated": score(calibrated_2nd, truth[half:]),
     }
+    if train_alphas:
+        # "variance-calibrated scoring" with TRAIN-fitted alphas
+        # (training.fit_calibration: fit on teacher-forced TRAIN preds —
+        # zero val-label use, so this full-window number is as honest as
+        # raw; same convention as the round-4 solo 0.8842 -> 0.8088 row)
+        cal = apply_variance_inflation(preds, train_alphas, output_vars)
+        out["train_alphas"] = train_alphas
+        out["full_train_calibrated"] = score(cal, truth)
+    return out
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    args = sys.argv[1:]
+    train_alphas = None
+    if "--train-alphas" in args:
+        i = args.index("--train-alphas")
+        vals = [float(x) for x in args[i + 1].split(",")]
+        args = args[:i] + args[i + 2:]
+        train_alphas = {"tas": vals[0], "pr": vals[1]}
+    if not args:
         raise SystemExit(__doc__)
-    for p in sys.argv[1:]:
-        print(json.dumps(analyze(p)))
+    for p in args:
+        print(json.dumps(analyze(p, train_alphas)))

@@ -610,8 +610,17 @@ def main():
                     f"**{cl['second_half_calibrated']:.4f}** "
                     f"(alphas {', '.join(f'{k}={v}' for k, v in a.items())}; full-window raw "
                     f"{cl['full_raw']:.4f}).",
-                    "",
                 ]
+                if cl.get("full_train_calibrated"):
+                    ta = cl.get("train_alphas", {})
+                    lines += [
+                        "With TRAIN-fitted alphas instead (training.fit_calibration — fit on",
+                        "teacher-forced train predictions, ZERO val-label use; the same",
+                        '"variance-calibrated scoring" convention as the solo 0.8842 -> 0.8088',
+                        f"round-4 row): full-window **{cl['full_train_calibrated']:.4f}** "
+                        f"(alphas {', '.join(f'{k}={v}' for k, v in ta.items())}).",
+                    ]
+                lines += [""]
 
     # --- seed-ensemble results (tools/ensemble_eval.py) ---
     for fname, title in [
