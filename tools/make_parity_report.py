@@ -648,6 +648,11 @@ def main():
 
     # --- weighted stacking + variance re-inflation (tools/ensemble_eval.py) ---
     for fname, title in [
+        ("ensemble_crossR5_forcing.json",
+         "round-5 night FORCING-ONLY cross-family stack: the round-4 cross12 "
+         "members + the night diversity members (unet on the ENSEMBLE pipeline "
+         "— a third model family — plus cnn_transformer cos300 seed 45 and the "
+         "flagship seq12 cosine window member) — all forcing-only"),
         ("ensemble_cross17_forcing.json",
          "round-5 FORCING-ONLY cross-family stack: the round-4 cross12 members "
          "+ the vmap-factory flagship seeds 47-50 (mm4cos300) + the seq12 window "

@@ -1,0 +1,216 @@
+"""Extended stack calibration: seasonal/anomaly decomposition + latitude-banded
+variance re-inflation on top of the weighted member blend (round 5).
+
+The scalar-alpha calibration (tools/ensemble_eval.py --weighted) re-inflates
+ALL deviations from a pixel's time mean with one factor per variable. But a
+monthly prediction's deviation splits into two physically distinct parts:
+
+    pred(t) = m + seas(moy(t)) + anom(t)
+      m     = overall time-mean map
+      seas  = predicted monthly climatology minus m  (seasonal cycle)
+      anom  = residual (interannual/weather variability)
+
+MSE training shrinks the ANOMALY part far more than the seasonal cycle (the
+cycle is predictable from the month; anomalies are not), so one shared alpha
+under-inflates anomalies or over-inflates the cycle. Fitting them separately
+— and letting the anomaly inflation vary by latitude band (tropical pr
+variability is damped differently than mid-latitude) — is still a handful of
+parameters per variable, checked by the same split-half holdout as the
+scalar version.
+
+    calibrated(t) = m + a_seas * seas(moy(t)) + a_anom(band) * anom(t)
+
+Fit protocol mirrors ensemble_eval.py: per-variable convex member weights +
+scalar alpha first (identical machinery), then the extended parameters on
+the blended prediction; split-half holdout refits EVERYTHING on the first
+half and scores frozen on the second. Reference: the competition metric the
+terms come from is _climate_kaggle_metric.py:103-153; the reference stack
+has no ensembling or calibration at all.
+
+  python tools/stack_calibrate2.py --bands 6 <valpreds.npz ...>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUTPUT_VARS = ["tas", "pr"]
+
+
+def load_members(paths, align_tail=True):
+    loaded = [np.load(p) for p in paths]
+    tmin = min(z["preds"].shape[0] for z in loaded)
+    members, trues, lat = [], None, None
+    for p, z in zip(paths, loaded):
+        preds, tr = z["preds"][-tmin:], z["trues"][-tmin:]
+        if trues is None:
+            trues, lat = tr, z["lat"]
+        else:
+            assert trues.shape == tr.shape and np.allclose(trues, tr, atol=1e-2), (
+                f"{p}: val split tail differs beyond fp32 roundtrip"
+            )
+        members.append(preds)
+    return np.stack(members).astype(np.float32), trues.astype(np.float32), lat
+
+
+def decompose(pred):
+    """(T, H, W) -> (m, seas12, anom, moy). Assumes consecutive monthly rows
+    (true for every val stream here: sliding windows over a monthly series);
+    the calendar phase of row 0 is irrelevant — t%12 groups equal months."""
+    T = pred.shape[0]
+    moy = np.arange(T) % 12
+    m = pred.mean(axis=0, keepdims=True)
+    seas12 = np.stack([pred[moy == k].mean(axis=0) for k in range(12)]) - m[0]
+    anom = pred - m - seas12[moy]
+    return m, seas12, anom, moy
+
+
+def band_masks(lat, n_bands):
+    """Contiguous |lat|-symmetric bands (equal lat-index split, (B, H) weights)."""
+    H = len(lat)
+    edges = np.linspace(0, H, n_bands + 1).astype(int)
+    masks = np.zeros((n_bands, H), np.float32)
+    for b in range(n_bands):
+        masks[b, edges[b]:edges[b + 1]] = 1.0
+    return masks
+
+
+def fit_extended(blend, true, lat, var, n_bands, w_lat, alpha0=1.0):
+    """Fit a_seas + per-band a_anom on one variable's blended prediction.
+    Starts from the scalar-alpha solution (which lies inside this family:
+    a_seas = a_anom(all bands) = alpha), so the fit can only refine it."""
+    from scipy.optimize import minimize
+
+    from climate_tpu.eval.calibrate import variable_score
+
+    m, seas12, anom, moy = decompose(blend)
+    masks = band_masks(lat, n_bands)  # (B, H)
+
+    def rebuild(p):
+        a_seas, a_bands = p[0], p[1:]
+        a_map = np.tensordot(a_bands.astype(np.float32), masks, axes=1)  # (H,)
+        return m + a_seas * seas12[moy] + a_map[None, :, None] * anom
+
+    def obj(p):
+        return variable_score(rebuild(p), true, w_lat, var)
+
+    best = None
+    for x0 in (np.full(1 + n_bands, alpha0), np.ones(1 + n_bands)):
+        res = minimize(obj, x0, method="SLSQP",
+                       bounds=[(0.5, 2.5)] * (1 + n_bands),
+                       options={"maxiter": 300, "ftol": 1e-9, "eps": 1e-3})
+        if best is None or res.fun < best.fun:
+            best = res
+    return best.x, float(best.fun), rebuild(best.x)
+
+
+def fit_all(M, trues, lat, n_bands):
+    """Weights+scalar alpha (ensemble_eval machinery), then extended calib."""
+    from climate_tpu.eval.calibrate import variable_score
+    from climate_tpu.eval.metrics import VAR_WEIGHTS, get_lat_weights
+    from tools.ensemble_eval import search_weights
+
+    w_lat = get_lat_weights(lat)
+    scalar_total, weights, alphas = search_weights(M, trues, lat)
+
+    out = {"scalar_weighted_composite": float(scalar_total)}
+    total_ext = 0.0
+    params = {}
+    blends = []
+    for c, var in enumerate(OUTPUT_VARS):
+        blend = np.tensordot(weights[c], M[:, :, c], axes=1)
+        tv = trues[:, c]
+        p, score, calibrated = fit_extended(blend, tv, lat, var, n_bands, w_lat,
+                                            alpha0=alphas[c])
+        # never worse than the scalar fit: scalar alpha is in this family
+        # (a_seas = a_anom(all bands) = alpha), so compare and keep the min
+        m0 = blend.mean(axis=0, keepdims=True)
+        scalar_score = float(variable_score(
+            m0 + alphas[c] * (blend - m0), tv, w_lat, var))
+        if score >= scalar_score:
+            score = scalar_score
+            calibrated = m0 + alphas[c] * (blend - m0)
+            p = np.full(1 + n_bands, alphas[c])
+        total_ext += VAR_WEIGHTS[var] * score
+        params[var] = {"a_seas": round(float(p[0]), 4),
+                       "a_anom_bands": [round(float(a), 4) for a in p[1:]],
+                       "scalar_alpha": round(float(alphas[c]), 4)}
+        blends.append(calibrated)
+    out["extended_composite"] = float(total_ext)
+    out["params"] = params
+    return out, weights, params, np.stack(blends, axis=1)
+
+
+def frozen_score(M, trues, lat, weights, params, sl):
+    """Apply first-half-fitted weights+extended params to slice sl."""
+    from climate_tpu.eval.calibrate import variable_score
+    from climate_tpu.eval.metrics import VAR_WEIGHTS, get_lat_weights
+
+    w_lat = get_lat_weights(lat)
+    total = 0.0
+    for c, var in enumerate(OUTPUT_VARS):
+        blend = np.tensordot(weights[c], M[:, sl, c], axes=1)
+        m, seas12, anom, moy = decompose(blend)
+        pr = params[var]
+        masks = band_masks(lat, len(pr["a_anom_bands"]))
+        a_map = np.tensordot(np.asarray(pr["a_anom_bands"], np.float32), masks, axes=1)
+        calibrated = m + pr["a_seas"] * seas12[moy] + a_map[None, :, None] * anom
+        total += VAR_WEIGHTS[var] * variable_score(calibrated, trues[sl, c], w_lat, var)
+    return float(total)
+
+
+def main(paths, n_bands):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from climate_tpu.eval.metrics import kaggle_composite_score
+
+    M, trues, lat = load_members(paths)
+    result = {"n_members": M.shape[0], "n_bands": n_bands,
+              "members": [os.path.basename(p) for p in paths]}
+    full, weights, params, blend = fit_all(M, trues, lat, n_bands)
+    result.update(full)
+    # canonical-scorer cross-check on the calibrated blend
+    result["extended_composite_canonical_scorer"] = float(
+        kaggle_composite_score(blend.astype(np.float32), trues, lat, OUTPUT_VARS))
+
+    # split-half holdout: refit EVERYTHING on the first half, frozen second
+    h = M.shape[1] // 2
+    h -= h % 12  # keep whole years in the fit half so moy grouping is balanced
+    half, w_h, p_h, _ = fit_all(M[:, :h], trues[:h], lat, n_bands)
+    second = slice(h, M.shape[1])
+    # frozen SCALAR baseline on the same second half: same first-half weights,
+    # scalar alpha only (a_seas = a_anom = alpha) — isolates what the extended
+    # parameters add out-of-sample
+    p_scalar = {v: {"a_seas": p_h[v]["scalar_alpha"],
+                    "a_anom_bands": [p_h[v]["scalar_alpha"]] * n_bands}
+                for v in OUTPUT_VARS}
+    result["holdout"] = {
+        "fit_months": h,
+        "eval_months": M.shape[1] - h,
+        "frozen_extended_second_half": frozen_score(M, trues, lat, w_h, p_h, second),
+        "frozen_scalar_second_half": frozen_score(M, trues, lat, w_h, p_scalar, second),
+        "first_half_fit": half,
+    }
+    print(json.dumps(result, indent=1))
+    return result
+
+
+if __name__ == "__main__":
+    bands = 6
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--bands":
+            bands = int(next(it))
+        elif not a.startswith("--"):
+            args.append(a)
+    if not args:
+        raise SystemExit(__doc__)
+    main(args, bands)
