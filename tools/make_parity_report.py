@@ -109,7 +109,7 @@ def main():
         "0.974 vs 0.958) at higher throughput; beyond-parity: best single run 0.5803",
         "final / 0.5736 best-epoch (wide cnn_transformer, cosine e300), 12-member",
         "CROSS-FAMILY weighted ensemble **0.4415** with scalar variance calibration",
-        "and **0.4008** with the round-5 extended (seasonal/anomaly + lat-band)",
+        "and **0.3880** with the round-5 extended (seasonal/anomaly + lat-band)",
         "calibration (7 cnn_t + 5 flagship on the shared val tail; split-half",
         "holdout-validated — see the stacking sections), and closed-loop:",
         "chained self-forced training (k=2 + prev-noise) breaks the autoregressive",
@@ -649,10 +649,15 @@ def main():
     # --- extended calibration (tools/stack_calibrate2.py, round 5) ---
     for fname, title in [
         ("stack_calib2_crossR5.json",
-         "the crossR5 stack (round-4 cross12 members + night diversity members)"),
+         "the crossR5 stack (round-4 cross12 members + night diversity "
+         "members: unet-ensemble + cnn_t seed45), anomaly-alpha bound 3.5"),
+        ("stack_calib2_cross12_amax35.json",
+         "the round-4 cross12 forcing-only stack, anomaly-alpha bound "
+         "widened to 3.5 — high-latitude pr wants ~3.5x anomaly inflation "
+         "and the holdout IMPROVES vs the 2.5 bound (0.4715 vs 0.4777)"),
         ("stack_calib2_cross12.json",
          "the round-4 cross12 forcing-only stack (same 12 members as the "
-         "0.4415 scalar row)"),
+         "0.4415 scalar row), anomaly-alpha bound 2.5"),
     ]:
         c2 = load_json(fname)
         if not (isinstance(c2, dict) and c2.get("extended_composite")):
