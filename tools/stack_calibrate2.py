@@ -103,7 +103,7 @@ def fit_extended(blend, true, lat, var, n_bands, w_lat, alpha0=1.0):
     best = None
     for x0 in (np.full(1 + n_bands, alpha0), np.ones(1 + n_bands)):
         res = minimize(obj, x0, method="SLSQP",
-                       bounds=[(0.5, 2.5)] * (1 + n_bands),
+                       bounds=[(0.5, float(os.environ.get("CALIB2_AMAX", "2.5")))] * (1 + n_bands),
                        options={"maxiter": 300, "ftol": 1e-9, "eps": 1e-3})
         if best is None or res.fun < best.fun:
             best = res
